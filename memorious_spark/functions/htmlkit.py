@@ -1,0 +1,311 @@
+"""Pure-Python HTML kernel shared by the Spark pandas UDFs and the
+single-threaded reference oracle.
+
+This module is the fidelity pivot: the engine's parse stage
+(:mod:`memorious_spark.operators.parse`) and the oracle crawler
+(:mod:`memorious_spark.oracle`) both call *these* functions, so
+"byte-identical extracted text per url" holds by construction and the
+tests verify the Spark plumbing preserves it at scale.
+
+Reference semantics reproduced here (see /root/reference):
+- text extraction = decode body bytes with the declared charset,
+  ``errors="replace"`` (memorious/logic/http.py:315-336, charset pick
+  :261-268). lxml is unavailable in this sandbox, so the tolerant DOM
+  is built on the stdlib ``html.parser`` instead; the contract is
+  defined by THIS implementation and mirrored exactly in the oracle.
+- link extraction order = the URL_TAGS scan order of
+  memorious/operations/parse.py:12-18 — root ``href``, then ``.//a``
+  hrefs, ``.//img`` srcs, ``.//link`` hrefs, ``.//iframe`` srcs, in
+  document order within each tag class, with a per-page first-wins
+  seen set (parse.py:21-69) and ``urljoin`` base resolution
+  (parse.py:45).
+- ``collapse_spaces`` = whitespace-run collapse + strip, applied to
+  link titles and meta values (parse.py:64-66,83-86).
+
+No state, no I/O, no wall clock: every function is deterministic in
+its arguments, which is what lets it run unchanged inside an Arrow
+batch on an executor or in a driver-side loop.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+from xml.etree.ElementTree import Element
+
+__all__ = [
+    "collapse_spaces",
+    "detect_charset",
+    "extract_text",
+    "parse_html",
+    "page_title",
+    "extract_links",
+    "extract_meta",
+    "extract_properties",
+    "URL_TAGS",
+    "VOID_ELEMENTS",
+]
+
+# The exact tag/attribute scan set of memorious/operations/parse.py:12-18.
+URL_TAGS: tuple[tuple[str, str], ...] = (
+    (".", "href"),
+    (".//a", "href"),
+    (".//img", "src"),
+    (".//link", "href"),
+    (".//iframe", "src"),
+)
+
+# HTML5 void elements — never pushed on the open-element stack.
+VOID_ELEMENTS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+_WS_RE = re.compile(r"\s+", re.U)
+_CHARSET_RE = re.compile(r"charset=([\w.-]+)", re.I)
+
+
+def collapse_spaces(value: str | None) -> str | None:
+    """Whitespace-run collapse + strip (normality.collapse_spaces shape)."""
+    if value is None:
+        return None
+    return _WS_RE.sub(" ", value).strip()
+
+
+def detect_charset(content_type: str | None, body: bytes | None = None) -> str:
+    """Charset from the Content-Type parameter, else utf-8.
+
+    The reference guesses from bytes when the header is silent
+    (memorious/logic/http.py:261-268); chardet is unavailable here, so
+    the engine contract pins the fallback to utf-8 and the synthetic
+    corpus always declares its charset. A BOM sniff keeps utf-16
+    bodies honest even without a declaration.
+    """
+    if content_type:
+        m = _CHARSET_RE.search(content_type)
+        if m:
+            enc = m.group(1).lower()
+            try:
+                codecs.lookup(enc)
+                return enc
+            except LookupError:
+                pass
+    if body is not None:
+        if body.startswith(b"\xff\xfe") or body.startswith(b"\xfe\xff"):
+            return "utf-16"
+        if body.startswith(b"\xef\xbb\xbf"):
+            return "utf-8-sig"
+    return "utf-8"
+
+
+def extract_text(body: bytes | None, content_type: str | None) -> str | None:
+    """Decode raw body bytes → text, ``errors="replace"``.
+
+    Mirrors memorious's ``ContextHttpResponse.text``
+    (memorious/logic/http.py:315-321): bytes decoded with the detected
+    encoding using the "replace" error handler; None body → None.
+    """
+    if body is None:
+        return None
+    return body.decode(detect_charset(content_type, body), errors="replace")
+
+
+class _TreeBuilder(HTMLParser):
+    """Tolerant HTML → ElementTree builder on the stdlib parser.
+
+    Handles void elements, stray close tags, and unclosed elements the
+    way scraped web pages require. The resulting Element supports the
+    ElementPath subset (``.//a``, ``.//meta[@name='x']``) used by the
+    rule DSL and meta-extraction specs.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Element("html")
+        self._stack: list[Element] = [self.root]
+        self._saw_root = False
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        attrib = {k: (v if v is not None else "") for k, v in attrs}
+        if tag == "html" and not self._saw_root:
+            self._saw_root = True
+            self.root.attrib.update(attrib)
+            return
+        el = Element(tag, attrib)
+        self._stack[-1].append(el)
+        if tag not in VOID_ELEMENTS:
+            self._stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        attrib = {k: (v if v is not None else "") for k, v in attrs}
+        if tag == "html" and not self._saw_root:
+            self._saw_root = True
+            self.root.attrib.update(attrib)
+            return
+        self._stack[-1].append(Element(tag, attrib))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+        # stray close tag: ignored (tolerant parse)
+
+    def handle_data(self, data: str) -> None:
+        cur = self._stack[-1]
+        if len(cur):
+            last = cur[-1]
+            last.tail = (last.tail or "") + data
+        else:
+            cur.text = (cur.text or "") + data
+
+
+def parse_html(text: str | None) -> Element | None:
+    """Parse HTML text into a tolerant ElementTree; None on failure.
+
+    Stands in for ``lxml.html.fromstring`` with a None-on-parse-error
+    contract (memorious/logic/http.py:323-336).
+    """
+    if text is None:
+        return None
+    try:
+        builder = _TreeBuilder()
+        builder.feed(text)
+        builder.close()
+        return builder.root
+    except Exception:
+        return None
+
+
+def _text_content(el: Element) -> str:
+    return "".join(el.itertext())
+
+
+def _findall(root: Element, path: str) -> list:
+    """ElementPath findall with an ``/@attr`` suffix extension.
+
+    ``.//meta[@name='author']/@content`` → list of attribute strings.
+    Plain paths return Elements. ``.`` returns the root itself.
+    """
+    attr = None
+    if "/@" in path:
+        path, attr = path.rsplit("/@", 1)
+    if path in (".", ""):
+        found = [root]
+    else:
+        try:
+            found = root.findall(path)
+        except SyntaxError:
+            return []
+    if attr is not None:
+        return [el.get(attr) for el in found if el.get(attr) is not None]
+    return found
+
+
+def page_title(root: Element | None) -> str | None:
+    """First ``.//title`` text, collapsed (parse.py:107-109 shape)."""
+    if root is None:
+        return None
+    el = root.find(".//title")
+    if el is None:
+        return None
+    return collapse_spaces(_text_content(el))
+
+
+def extract_links(
+    root: Element | None,
+    base_url: str,
+    include_paths: list[str] | None = None,
+    link_title_from_text: bool = False,
+) -> list[tuple[str, str | None, int]]:
+    """Extract outbound links: ``[(absolute_url, link_title, idx), ...]``.
+
+    Faithful to memorious/operations/parse.py:21-69: URL_TAGS scan
+    order, per-page first-wins dedup on the joined absolute URL,
+    urljoin base resolution, skip empty attrs; ``idx`` is the emit
+    position (0-based) and is the within-page ordering key for the
+    deterministic crawl-order contract (SURVEY.md §4.3).
+    """
+    if root is None:
+        return []
+    roots = [root]
+    if include_paths:
+        roots = [el for p in include_paths for el in _findall(root, p)]
+    seen: set[str] = set()
+    out: list[tuple[str, str | None, int]] = []
+    idx = 0
+    for path, attr in URL_TAGS:
+        for r in roots:
+            for el in _findall(r, path):
+                raw = el.get(attr)
+                if raw is None or not raw.strip():
+                    continue
+                try:
+                    url = urljoin(base_url, raw.strip())
+                except ValueError:
+                    continue
+                if not url or url in seen:
+                    continue
+                seen.add(url)
+                title = None
+                if link_title_from_text:
+                    title = collapse_spaces(_text_content(el)) or collapse_spaces(
+                        el.get("title")
+                    )
+                out.append((url, title, idx))
+                idx += 1
+    return out
+
+
+def extract_meta(
+    root: Element | None, meta_paths: dict[str, list[str]]
+) -> dict[str, str]:
+    """First-matching-path text per meta key (parse.py:72-92 shape).
+
+    Each value in ``meta_paths`` is a list of ElementPath specs tried
+    in order; the first spec yielding a non-empty collapsed string
+    wins. ``/@attr`` suffixes select attribute values.
+    """
+    out: dict[str, str] = {}
+    if root is None:
+        return out
+    for key, paths in meta_paths.items():
+        for path in paths:
+            for hit in _findall(root, path):
+                value = hit if isinstance(hit, str) else _text_content(hit)
+                value = collapse_spaces(value)
+                if value:
+                    out[key] = value
+                    break
+            if key in out:
+                break
+    return out
+
+
+def extract_properties(
+    root: Element | None, properties: dict[str, str]
+) -> dict[str, list[str]]:
+    """FTM-style list-valued property extraction (parse.py:95-102).
+
+    Every match of each path contributes one collapsed string; keys
+    with no matches are omitted.
+    """
+    out: dict[str, list[str]] = {}
+    if root is None:
+        return out
+    for key, path in properties.items():
+        values = []
+        for hit in _findall(root, path):
+            value = hit if isinstance(hit, str) else _text_content(hit)
+            value = collapse_spaces(value)
+            if value:
+                values.append(value)
+        if values:
+            out[key] = values
+    return out

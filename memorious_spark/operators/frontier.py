@@ -1,0 +1,134 @@
+"""Frontier operators: politeness budget dequeue, deterministic
+emit-sequence assignment, hot-host salting.
+
+Replaces memorious's sequential scheduler: Redis FIFO drain
+(memorious/model/queue.py:17-27) + whole-stage rate-limit parking
+(queue.py:30-37, 120 req/min/host settings.py:38). Time is discretized
+into frontier rounds: "k fetches per rate interval" becomes "k rows
+per host per round", enforced by a window rank — deterministic, no
+executor sleeps, carryover preserves FIFO order across rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = [
+    "FRONTIER_SCHEMA",
+    "politeness_dequeue",
+    "assign_emit_seq",
+    "dedup_within_round",
+    "salt_partitions",
+]
+
+FRONTIER_SCHEMA = (
+    "url string, url_norm string, url_hash long, host string, depth int, "
+    "priority double, src_url string, link_idx int, emit_seq long, attempt int"
+)
+
+def _order_cols():
+    return [F.col("priority"), F.col("emit_seq")]
+
+
+def politeness_dequeue(
+    frontier: DataFrame,
+    budget: int,
+    robots: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Select ≤ budget rows per host this round; rest carries over.
+
+    Order within host is ``(priority, emit_seq)`` — emit_seq is the
+    FIFO position, so budget-starved URLs win next round exactly as
+    the reference's parked queue would drain them. ``robots`` (host,
+    disallow_prefixes, crawl_delay_budget) both gates disallowed
+    paths and overrides the per-host budget (north-rule addition; the
+    reference has no robots support).
+
+    One shuffle (hash by host). A 10^6-URL host lands on one task
+    here, but only ``budget`` rows survive; the heavy downstream work
+    is re-spread by :func:`salt_partitions`.
+    """
+    if robots is not None:
+        frontier = frontier.join(F.broadcast(robots), "host", "left")
+        disallowed = F.exists(
+            F.col("disallow_prefixes"),
+            lambda p: F.expr("parse_url(url, 'PATH')").startswith(p),
+        )
+        frontier = frontier.filter(
+            F.col("disallow_prefixes").isNull() | ~disallowed
+        )
+        host_budget = F.coalesce(F.col("crawl_delay_budget"), F.lit(budget))
+    else:
+        host_budget = F.lit(budget)
+    w = Window.partitionBy("host").orderBy(*_order_cols())
+    ranked = frontier.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_budget", host_budget
+    )
+    selected = ranked.filter(F.col("_rn") <= F.col("_budget"))
+    carryover = ranked.filter(F.col("_rn") > F.col("_budget"))
+    drop = ["_rn", "_budget"] + (
+        ["disallow_prefixes", "crawl_delay_budget"] if robots is not None else []
+    )
+    return selected.drop(*drop), carryover.drop(*drop)
+
+
+def dedup_within_round(candidates: DataFrame, order_cols: list[str]) -> DataFrame:
+    """First-emit-wins dedup of one round's new links.
+
+    Sequential memorious tags each link the instant it's emitted
+    (memorious/operations/parse.py:55-58), so within a BFS generation
+    the FIRST emitter of a URL wins. ``order_cols`` (parent emit_seq,
+    link_idx) is a total order, making this deterministic.
+    """
+    w = Window.partitionBy("url_hash").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def assign_emit_seq(
+    df: DataFrame, order_cols: list[str], start: int, out_col: str = "emit_seq"
+) -> DataFrame:
+    """Dense global sequence numbers in ``order_cols`` order, from ``start``.
+
+    Distributed: range-repartition by the order keys, count rows per
+    partition (one tiny job), then rank within partitions with
+    broadcast offsets — no single-partition global window, so this
+    holds at frontier scale. The order is total (the caller dedups to
+    unique keys first), so the numbering is deterministic regardless
+    of partition boundaries.
+    """
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    keys = [F.col(c) for c in order_cols]
+    rp = df.repartitionByRange(n_parts, *keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    sizes = {r["_pid"]: r["cnt"] for r in rp.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    if not sizes:  # empty input
+        return rp.withColumn(out_col, F.lit(None).cast("long")).drop("_pid")
+    offsets, acc = {}, start
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for pid in sorted(sizes) for x in (pid, offsets[pid])]
+    ) if sizes else F.create_map()
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    return (
+        rp.withColumn("_rn", F.row_number().over(w))
+        .withColumn(out_col, (offset_map[F.col("_pid")] + F.col("_rn") - 1).cast("long"))
+        .drop("_pid", "_rn")
+    )
+
+
+def salt_partitions(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Re-spread budget-selected rows by url hash so a hot host's rows
+    don't pin one task through fetch/parse (the explicit hot-host
+    salting of the north rule). AQE skew-join is the backstop; this is
+    the guarantee."""
+    spark = df.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    return df.repartition(n, F.xxhash64("url"))

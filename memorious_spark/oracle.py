@@ -1,0 +1,122 @@
+"""Reference-faithful single-threaded crawl oracle.
+
+A pure-Python reimplementation of memorious's execution loop — FIFO
+queue drain (memorious/model/queue.py:17-27 append order +
+servicelayer worker FIFO), tag-at-emit link dedup
+(memorious/operations/parse.py:55-58), redirect-target tagging at
+fetch time (memorious/operations/fetch.py:31-33), rule gating at fetch
+(fetch.py:17-20) and store routing (parse.py:117-119) — run against
+the same in-memory page corpus the Spark engine crawls.
+
+It deliberately shares the SAME pure kernels as the engine's UDFs
+(:mod:`memorious_spark.functions.htmlkit`, ``rules.compile_py``,
+``urls.py_norm``), so "byte-identical extracted text per url" and
+"identical seen set / crawl order" are checked as *plumbing*
+properties of the distributed engine, not as two independent parsers
+agreeing by luck.
+
+Driver-side only, test-scale only — this is the correctness yardstick,
+never the execution path.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+from memorious_spark.functions import htmlkit
+from memorious_spark.functions.mime import NON_HTML, normalize_mimetype
+from memorious_spark.functions.urls import py_norm
+from memorious_spark.plans.pipeline import CrawlConfig
+
+__all__ = ["OracleResult", "run_oracle"]
+
+
+@dataclass
+class OracleResult:
+    seen: set[str] = field(default_factory=set)  # normalized urls tagged
+    order: list[tuple[int, str]] = field(default_factory=list)  # (emit_seq, url)
+    fetched: list[str] = field(default_factory=list)  # frontier urls fetched, FIFO
+    stored: list[dict] = field(default_factory=list)
+    text_by_url: dict[str, str | None] = field(default_factory=dict)
+
+
+def run_oracle(config: CrawlConfig, corpus: dict[str, dict]) -> OracleResult:
+    """Crawl ``corpus`` (normalized url → row dict with keys html,
+    content_type, status_code, redirect_to) exactly as single-threaded
+    memorious would, unlimited politeness budget."""
+    fetch_rule = config.fetch_rule_py()
+    store_rule = config.store_rule_py()
+    res = OracleResult()
+    queue: deque[tuple[str, int, int]] = deque()  # (url, emit_seq, depth)
+    for i, url in enumerate(config.seeds):
+        queue.append((url, i, 0))
+        res.order.append((i, url))
+    emit_counter = len(config.seeds)
+
+    while queue:
+        url, seq, depth = queue.popleft()
+        norm = py_norm(url)
+        if norm is None or not norm.startswith(("http://", "https://")):
+            continue
+        row = corpus.get(norm)
+        if row is None:
+            continue  # fetch miss (engine retries then drops — same end state)
+        status = row.get("status_code")
+        if status is not None and status >= 500:
+            continue
+        final_url = norm
+        if status in (301, 302) and row.get("redirect_to"):
+            target = py_norm(row["redirect_to"])
+            res.seen.add(target)  # fetch tags redirect targets
+            row = corpus.get(target)
+            if row is None:
+                continue
+            final_url = target
+        res.fetched.append(norm)
+
+        ct_raw = row.get("content_type")
+        mime = normalize_mimetype(ct_raw)
+        body = row.get("html")
+        text = htmlkit.extract_text(body, ct_raw)
+        gate_row = {"url": final_url, "content_type": mime, "text": text}
+        if not fetch_rule(gate_row):
+            continue
+
+        res.text_by_url[final_url] = text
+        root = (
+            htmlkit.parse_html(text)
+            if text is not None and mime not in NON_HTML
+            else None
+        )
+        title = htmlkit.page_title(root)
+        meta = htmlkit.extract_meta(root, config.parse.meta)
+        props = htmlkit.extract_properties(root, config.parse.properties)
+        if store_rule(gate_row):
+            res.stored.append(
+                dict(
+                    url=norm, final_url=final_url, depth=depth, emit_seq=seq,
+                    status_code=status, content_type=mime, title=title,
+                    text=text, meta=meta, properties=props,
+                )
+            )
+        links = htmlkit.extract_links(
+            root,
+            final_url,
+            list(config.parse.include_paths) if config.parse.include_paths else None,
+            config.parse.link_titles,
+        )
+        next_depth = depth + 1
+        if config.max_depth is not None and next_depth > config.max_depth:
+            continue
+        for link_url, _t, _idx in links:
+            key = py_norm(link_url)
+            if key is None or not key.startswith(("http://", "https://")):
+                continue
+            if key in res.seen:
+                continue  # tag-at-emit dedup
+            res.seen.add(key)
+            res.order.append((emit_counter, link_url))
+            queue.append((link_url, emit_counter, next_depth))
+            emit_counter += 1
+    return res

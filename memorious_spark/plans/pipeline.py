@@ -1,0 +1,135 @@
+"""YAML pipeline → frozen CrawlConfig.
+
+Accepts the same YAML shape memorious crawls are written in
+(memorious/logic/crawler.py:31-57 reads name/delay/expire/init;
+memorious/logic/stage.py:8-18 reads method/params/handle per stage;
+canonical example memorious/tests/testdata/config/simple_web_scraper.yml)
+but compiles it ONCE, driver-side, failing fast on unknown stages or
+ambiguous rules — the reference late-binds methods per task
+(stage.py:20-31); we validate at load time (SURVEY.md §3.2).
+
+Only the corpus-model subset is compiled: seed/sequence/dates/
+enumerate initializers, fetch (rules, retries), parse (store rules,
+meta, schema+properties, include_paths), store. Live-web operators
+(session auth, aleph upload, FTP/WebDAV) have no meaning against a
+page-corpus table and are rejected with a clear error.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import yaml
+
+from memorious_spark.operators.parse import ParseConfig
+from memorious_spark.plans.rules import RuleError, compile_py, compile_rule
+
+__all__ = ["CrawlConfig", "load_yaml", "load_config"]
+
+_SUPPORTED_METHODS = {
+    "seed", "sequence", "dates", "enumerate", "tee",
+    "fetch", "parse", "clean_html", "directory", "db", "inspect",
+}
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    name: str
+    seeds: tuple[str, ...]
+    fetch_rules: dict | None = None
+    store_rules: dict | None = None
+    parse: ParseConfig = field(default_factory=ParseConfig)
+    budget_per_host: int = 1_000_000_000  # "unlimited" unless configured
+    retries: int = 3
+    max_rounds: int = 25
+    max_depth: int | None = None
+    expire_days: int | None = None
+
+    def fetch_rule_col(self):
+        return compile_rule(self.fetch_rules)
+
+    def store_rule_col(self):
+        return compile_rule(self.store_rules)
+
+    def fetch_rule_py(self):
+        return compile_py(self.fetch_rules)
+
+    def store_rule_py(self):
+        return compile_py(self.store_rules)
+
+
+def load_yaml(text: str) -> CrawlConfig:
+    return load_config(yaml.safe_load(text))
+
+
+def load_config(spec: dict) -> CrawlConfig:
+    name = spec.get("name")
+    if not name or not all(c.isalnum() or c in "_-" for c in name):
+        raise ValueError(f"invalid crawler name: {name!r}")
+    stages = spec.get("pipeline", {})
+    init_name = spec.get("init", "init")
+    if init_name not in stages:
+        raise ValueError(f"init stage {init_name!r} not in pipeline")
+    # validate handle targets + methods
+    for sname, stage in stages.items():
+        method = stage.get("method")
+        if method not in _SUPPORTED_METHODS:
+            raise ValueError(f"stage {sname!r}: unsupported method {method!r}")
+        for target in (stage.get("handle") or {}).values():
+            if target not in stages:
+                raise ValueError(f"stage {sname!r} handles unknown stage {target!r}")
+
+    seeds: tuple[str, ...] = ()
+    fetch_rules = store_rules = None
+    parse_cfg = ParseConfig()
+    retries = 3
+    budget = 1_000_000_000
+    for stage in stages.values():
+        method = stage.get("method")
+        params = stage.get("params") or {}
+        if method == "seed":
+            urls = params.get("urls") or params.get("url") or []
+            if isinstance(urls, str):
+                urls = [urls]
+            seeds = tuple(urls)
+        elif method == "fetch":
+            fetch_rules = params.get("rules")
+            retries = int(params.get("retry", 3))
+            if "rate_limit" in params:
+                budget = int(params["rate_limit"])
+        elif method == "parse":
+            store_rules = params.get("store")
+            meta = {
+                k: (v if isinstance(v, list) else [v])
+                for k, v in (params.get("meta") or {}).items()
+            }
+            for k, v in (params.get("meta_date") or {}).items():
+                meta.setdefault(k, v if isinstance(v, list) else [v])
+            parse_cfg = ParseConfig(
+                meta=meta,
+                properties=dict(params.get("properties") or {}),
+                include_paths=(
+                    tuple(params["include_paths"])
+                    if params.get("include_paths")
+                    else None
+                ),
+                schema=params.get("schema"),
+            )
+    # fail fast on bad rule specs (reference raises per-task; we at load)
+    for rules in (fetch_rules, store_rules):
+        try:
+            compile_py(rules)
+        except RuleError:
+            raise
+    return CrawlConfig(
+        name=name,
+        seeds=seeds,
+        fetch_rules=fetch_rules,
+        store_rules=store_rules,
+        parse=parse_cfg,
+        retries=retries,
+        budget_per_host=budget,
+        max_rounds=int(spec.get("max_rounds", 25)),
+        max_depth=spec.get("max_depth"),
+        expire_days=spec.get("expire"),
+    )

@@ -1,0 +1,105 @@
+"""Run-state storage: per-round parquet snapshots + a JSON manifest.
+
+Plays the role Iceberg snapshots would on a real cluster (SURVEY.md §7
+keeps the layer thin so the Iceberg catalog can slot in where the
+sandbox lacks the connector): every round's frontier / seen / results
+/ metrics appends land in ``round=K`` directories, and the manifest is
+only advanced — by atomic rename — once all of round K's writes are
+complete. A killed run therefore resumes from the last *complete*
+round: re-read the manifest, load ``frontier/round=r`` and the union
+of ``seen/round<=r``, continue. This is the checkpoint/resume +
+per-partition-lineage requirement of the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["RunStore"]
+
+_TABLES = ("frontier", "seen", "results", "metrics")
+
+
+class RunStore:
+    def __init__(self, root: str | os.PathLike, crawler: str, run_id: str):
+        self.dir = Path(root) / crawler / run_id
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    @property
+    def manifest_path(self) -> Path:
+        return self.dir / "manifest.json"
+
+    def read_manifest(self) -> dict | None:
+        if not self.manifest_path.exists():
+            return None
+        return json.loads(self.manifest_path.read_text())
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        tmp = self.dir / "manifest.json.tmp"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        tmp.replace(self.manifest_path)  # atomic on POSIX
+
+    def round_path(self, table: str, rnd: int) -> str:
+        return str(self.dir / table / f"round={rnd}")
+
+    def write_round(self, table: str, rnd: int, df: DataFrame) -> None:
+        assert table in _TABLES, table
+        df.write.mode("overwrite").parquet(self.round_path(table, rnd))
+
+    def read_round(self, spark: SparkSession, table: str, rnd: int) -> DataFrame | None:
+        p = self.round_path(table, rnd)
+        if not os.path.isdir(p):
+            return None
+        return spark.read.parquet(p)
+
+    def read_all(
+        self, spark: SparkSession, table: str, upto_round: int
+    ) -> DataFrame | None:
+        paths = [
+            self.round_path(table, r)
+            for r in range(upto_round + 1)
+            if os.path.isdir(self.round_path(table, r))
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def commit_round(self, rnd: int, stats: dict) -> None:
+        """Advance the manifest: round ``rnd`` is durable and complete."""
+        manifest = self.read_manifest() or {"rounds": []}
+        manifest["last_complete_round"] = rnd
+        manifest["rounds"] = [r for r in manifest["rounds"] if r["round"] != rnd]
+        manifest["rounds"].append({"round": rnd, **stats})
+        manifest["rounds"].sort(key=lambda r: r["round"])
+        self._commit_manifest(manifest)
+
+    def finish(self, status: str) -> None:
+        manifest = self.read_manifest() or {}
+        manifest["status"] = status
+        self._commit_manifest(manifest)
+
+    def abort_requested(self) -> bool:
+        """Driver checks a kill-file between rounds (the reference
+        checks a Redis abort flag before each op,
+        memorious/model/crawl.py:98-113)."""
+        return (self.dir / "ABORT").exists()
+
+    def truncate_after(self, rnd: int) -> None:
+        """Drop any partially-written rounds > rnd (crash cleanup)."""
+        for table in _TABLES:
+            tdir = self.dir / table
+            if not tdir.is_dir():
+                continue
+            for child in tdir.iterdir():
+                if child.name.startswith("round="):
+                    try:
+                        k = int(child.name.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if k > rnd:
+                        shutil.rmtree(child)

@@ -1,0 +1,162 @@
+"""End-to-end engine ↔ oracle equivalence — the correctness gate of
+BASELINE.json: same seed list, unlimited politeness budget →
+identical URL-seen set, identical crawl (emit) order, identical
+stored rows, byte-identical extracted text per url (sha256)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from memorious_spark.functions.urls import py_norm
+from memorious_spark.operators.parse import ParseConfig
+from memorious_spark.oracle import run_oracle
+from memorious_spark.plans.pipeline import CrawlConfig
+from memorious_spark.plans.runner import CrawlRunner
+from memorious_spark.plans.storage import RunStore
+from memorious_spark.sources.corpus import build_corpus, seed_urls
+
+N_DOCS = 120
+
+
+def _docs(spark, n=N_DOCS):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("word"), F.col("id") % 11, F.lit(" text body ")).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = build_corpus(spark, _docs(spark), N_DOCS).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def corpus_dict(corpus):
+    return {
+        py_norm(r["url"]): {
+            "html": bytes(r["html"]) if r["html"] is not None else None,
+            "content_type": r["content_type"],
+            "status_code": r["status_code"],
+            "redirect_to": r["redirect_to"],
+        }
+        for r in corpus.collect()
+    }
+
+
+CFG = CrawlConfig(
+    name="e2e",
+    seeds=tuple(seed_urls(3)),
+    fetch_rules={"mime_group": "web"},
+    store_rules={"and": [{"mime_type": "text/html"}, {"pattern": r"https://h\d"}]},
+    parse=ParseConfig(
+        meta={
+            "author": [".//meta[@name='author']/@content"],
+            "og_title": [".//meta[@property='og:title']/@content"],
+        },
+        properties={"headings": ".//h1"},
+    ),
+    max_rounds=40,
+)
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, corpus, tmp_path_factory):
+    store = RunStore(tmp_path_factory.mktemp("runs"), "e2e", "run1")
+    result = CrawlRunner(spark, CFG, store).run(corpus)
+    return store, result
+
+
+@pytest.fixture(scope="module")
+def oracle_run(corpus_dict):
+    return run_oracle(CFG, corpus_dict)
+
+
+def _engine_frontier_rows(spark, store, max_round=60):
+    dfs = []
+    for r in range(max_round):
+        df = store.read_round(spark, "frontier", r)
+        if df is None:
+            break
+        dfs.append(df)
+    allf = dfs[0]
+    for d in dfs[1:]:
+        allf = allf.unionByName(d)
+    return allf.dropDuplicates(["emit_seq"])
+
+
+def test_crawl_terminates(engine_run):
+    _, result = engine_run
+    assert result.status == "done"
+    assert result.pages_fetched > 50
+    assert result.pages_stored > 0
+
+
+def test_seen_set_matches_oracle(spark, engine_run, oracle_run):
+    store, _ = engine_run
+    seen = store.read_all(spark, "seen", 60)
+    engine_hashes = {r["key_hash"] for r in seen.select("key_hash").distinct().collect()}
+    oracle_urls = sorted(oracle_run.seen)
+    odf = spark.createDataFrame([(u,) for u in oracle_urls], "u string")
+    oracle_hashes = {
+        r["h"] for r in odf.select(F.xxhash64("u").alias("h")).collect()
+    }
+    assert engine_hashes == oracle_hashes
+
+
+def test_crawl_order_matches_oracle(spark, engine_run, oracle_run):
+    store, _ = engine_run
+    rows = _engine_frontier_rows(spark, store).select("emit_seq", "url").collect()
+    engine_order = sorted((r["emit_seq"], r["url"]) for r in rows)
+    oracle_order = sorted(oracle_run.order)
+    assert engine_order == oracle_order
+
+
+def test_stored_rows_match_oracle(spark, engine_run, oracle_run):
+    store, _ = engine_run
+    stored = store.read_all(spark, "results", 60)
+    engine = {
+        r["final_url"]: r
+        for r in stored.select(
+            "final_url", "title", "text", "meta", "properties", "status_code"
+        ).collect()
+    }
+    oracle = {s["final_url"]: s for s in oracle_run.stored}
+    assert set(engine) == set(oracle)
+    for url, o in oracle.items():
+        e = engine[url]
+        assert e["title"] == o["title"], url
+        assert e["text"] == o["text"], url
+        assert dict(e["meta"] or {}) == o["meta"], url
+        assert {k: list(v) for k, v in (e["properties"] or {}).items()} == o[
+            "properties"
+        ], url
+
+
+def test_text_byte_identity(spark, engine_run, oracle_run):
+    """sha256 over extracted text per url — the per-row invariant of
+    BASELINE.json input_hint."""
+    store, _ = engine_run
+    stored = store.read_all(spark, "results", 60)
+    engine = {
+        r["final_url"]: hashlib.sha256(r["text"].encode("utf-8")).hexdigest()
+        for r in stored.select("final_url", "text").collect()
+        if r["text"] is not None
+    }
+    assert engine  # non-trivial
+    for url, h in engine.items():
+        o = oracle_run.text_by_url.get(url)
+        assert o is not None, url
+        assert hashlib.sha256(o.encode("utf-8")).hexdigest() == h, url
+
+
+def test_content_hash_is_sha1_of_body(spark, engine_run, corpus_dict):
+    store, _ = engine_run
+    stored = store.read_all(spark, "results", 60)
+    row = stored.filter(F.col("content_hash").isNotNull()).first()
+    body = corpus_dict[py_norm(row["final_url"])]["html"]
+    assert row["content_hash"] == hashlib.sha1(body).hexdigest()

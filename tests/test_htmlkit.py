@@ -1,0 +1,94 @@
+"""Unit tests for the pure HTML kernel — the fidelity contract both the
+Spark UDFs and the oracle share (mirrors the extraction assertions of
+the reference's test_operations.py:50-92 / test_http.py:11-132)."""
+
+from memorious_spark.functions import htmlkit as hk
+
+PAGE = (
+    "<html><head><title>  My   Title </title>"
+    '<meta name="author" content="Jane  Doe"/>'
+    '<meta property="og:title" content="OG Title"/>'
+    '<link href="/style.css" rel="stylesheet"/>'
+    "</head><body>"
+    '<a href="/a">First</a>'
+    '<a href="/a">Dup</a>'
+    '<a href="https://other.example.com/b">Cross</a>'
+    '<a href="">empty</a>'
+    "<a>noattr</a>"
+    '<img src="/img.png"/>'
+    '<iframe src="/frame.html"></iframe>'
+    "<p>Some <b>bold</b> text</p>"
+    "</body></html>"
+)
+BASE = "https://h1.example.com/doc/1"
+
+
+def test_extract_text_charsets():
+    for cs in ("utf-8", "utf-16", "iso-8859-1"):
+        body = "héllo wörld".encode(cs, errors="replace")
+        out = hk.extract_text(body, f"text/html; charset={cs}")
+        assert "llo w" in out
+    assert hk.extract_text(None, "text/html") is None
+    # undeclared charset falls back to utf-8 with replacement, never raises
+    assert hk.extract_text(b"\xff\xfe\x00", None) is not None
+
+
+def test_detect_charset():
+    assert hk.detect_charset("text/html; charset=UTF-16") == "utf-16"
+    assert hk.detect_charset("text/html") == "utf-8"
+    assert hk.detect_charset("text/html; charset=bogus-enc") == "utf-8"
+    assert hk.detect_charset(None, b"\xff\xfe\x00a") == "utf-16"
+
+
+def test_title_collapsed():
+    root = hk.parse_html(PAGE)
+    assert hk.page_title(root) == "My Title"
+
+
+def test_links_order_dedup_urljoin():
+    root = hk.parse_html(PAGE)
+    links = hk.extract_links(root, BASE, link_title_from_text=True)
+    urls = [u for u, _, _ in links]
+    # URL_TAGS scan order: anchors, then img, link, iframe; first-wins dedup
+    assert urls == [
+        "https://h1.example.com/a",
+        "https://other.example.com/b",
+        "https://h1.example.com/img.png",
+        "https://h1.example.com/style.css",
+        "https://h1.example.com/frame.html",
+    ]
+    assert [i for _, _, i in links] == list(range(5))
+    assert links[0][1] == "First"  # first-wins keeps first anchor's title
+
+
+def test_meta_first_match_and_attr_suffix():
+    root = hk.parse_html(PAGE)
+    meta = hk.extract_meta(
+        root,
+        {
+            "author": [".//meta[@name='author']/@content"],
+            "title": [".//missing", ".//title"],
+            "absent": [".//meta[@name='nope']/@content"],
+        },
+    )
+    assert meta == {"author": "Jane Doe", "title": "My Title"}
+
+
+def test_properties_list_valued():
+    root = hk.parse_html(PAGE)
+    props = hk.extract_properties(root, {"links": ".//a/@href", "none": ".//q"})
+    assert props["links"] == ["/a", "/a", "https://other.example.com/b"]
+    assert "none" not in props
+
+
+def test_tolerant_parse():
+    # unclosed + stray close tags must not crash or lose content
+    root = hk.parse_html("<body><p>one<p>two</div><a href='/x'>y</a>")
+    assert root is not None
+    assert hk.extract_links(root, "http://h/")[0][0] == "http://h/x"
+    assert hk.parse_html(None) is None
+
+
+def test_collapse_spaces():
+    assert hk.collapse_spaces("  a \n\t b  ") == "a b"
+    assert hk.collapse_spaces(None) is None
