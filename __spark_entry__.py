@@ -1,38 +1,807 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship crawl; ``queries()`` exposes
+each implemented operator from SURVEY.md §2 (plus the training-data
+pipeline extensions) as a (spark, sf_dir) → DataFrame callable;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one. The crawl queries run the REAL engine (frontier
+rounds, seen anti-join, politeness, parse UDFs) and are checked
+against a recursive-CTE reachability oracle over the corpus's
+arithmetic link graph — an independent whole-crawl correctness gate.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from memorious_spark.session import ship_package
+
+# ----------------------------------------------------------------------
+# shared helpers
+# ----------------------------------------------------------------------
+
+_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+}
+_STOPWORDS = (" the ", " a ", " and ", " of ", " to ")
+N_PERM, N_BANDS = 16, 4
+KNN_PLANES = 6
+EMB_DIM = 64
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _corpus(spark: SparkSession, sf_dir: str):
+    from memorious_spark.sources.corpus import build_corpus
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    return build_corpus(spark, docs, n), n
+
+
+def _run_crawl(spark: SparkSession, sf_dir: str, redirects: bool = True):
+    """Run the full engine over the documents-derived corpus; returns
+    the RunStore of a completed run (fresh temp dir per call)."""
+    from memorious_spark.plans.pipeline import CrawlConfig
+    from memorious_spark.plans.runner import CrawlRunner
+    from memorious_spark.plans.storage import RunStore
+    from memorious_spark.sources.corpus import build_corpus, seed_urls
+
+    ship_package(spark)
+    docs = _docs(spark, sf_dir)
+    corpus = build_corpus(spark, docs, docs.count(), redirects=redirects)
+    corpus = corpus.persist()
+    cfg = CrawlConfig(name="entry", seeds=tuple(seed_urls(3)), max_rounds=40)
+    store = RunStore(tempfile.mkdtemp(prefix="msrun_"), "entry", "r1")
+    CrawlRunner(spark, cfg, store).run(corpus)
+    corpus.unpersist()
+    return store
+
+
+# The corpus taxonomy / link arithmetic, shared by every crawl oracle
+# (mirrors memorious_spark/sources/corpus.py — keep in lockstep).
+_RESOLVE = """
+    SELECT f.d AS d, f.depth AS depth,
+           CASE WHEN f.d % 23 = 0 THEN NULL
+                WHEN f.d % 19 = 0 THEN (f.d + 1) % (SELECT count(*) FROM documents)
+                ELSE f.d END AS c,
+           (SELECT count(*) FROM documents) AS n
+    FROM reach f
+"""
+
+_TARGETS = """
+    SELECT unnest(CASE WHEN rc.c IS NOT NULL AND rc.c % 23 <> 0
+                        AND rc.c % 19 <> 0 AND rc.c % 17 <> 0
+      THEN list_concat(
+        [(7*rc.c+1) % rc.n, (7*rc.c+12) % rc.n, (7*rc.c+23) % rc.n,
+         (7*rc.c+34) % rc.n],
+        CASE WHEN rc.c % 2 = 0 THEN [(7*rc.c+45) % rc.n] ELSE [] END)
+      ELSE [] END) AS t
+"""
+
+_REACH_CTE = f"""
+WITH RECURSIVE reach(d, depth) AS (
+  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0), (1, 0), (2, 0)) v(d, depth)
+  UNION
+  SELECT u.t, rc.depth + 1
+  FROM ({_RESOLVE}) rc, LATERAL ({_TARGETS}) u
+  WHERE rc.depth < 35
+),
+resolved AS (
+  SELECT d, min(depth) AS depth,
+         CASE WHEN d % 23 = 0 THEN NULL
+              WHEN d % 19 = 0 THEN (d + 1) % (SELECT count(*) FROM documents)
+              ELSE d END AS c,
+         (SELECT count(*) FROM documents) AS n
+  FROM reach GROUP BY d
+)
+"""
+
+_DOC_URL = "'https://h' || ({x} % 7) || '.example.com/doc/' || {x}"
+_CSS_URL = "'https://h' || ({x} % 7) || '.example.com/assets/style.css'"
+_HTML_COND = "rc.c IS NOT NULL AND rc.c % 23 <> 0 AND rc.c % 19 <> 0 AND rc.c % 17 <> 0"
+
+
+def _minhash_sql_mins() -> str:
+    cols = ", ".join(
+        f"min(md5('{i}:' || s)) AS h{i}" for i in range(N_PERM)
+    )
+    return f"SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+
+
+def _minhash_sql_bands() -> str:
+    r = N_PERM // N_BANDS
+    cols = ", ".join(
+        "md5(" + " || '|' || ".join(f"h{b * r + j}" for j in range(r)) + f") AS b{b}"
+        for b in range(N_BANDS)
+    )
+    return f"SELECT doc_id, {cols} FROM mins"
+
+
+_SHINGLES_CTE = """
+t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2] AS s
+  FROM t, LATERAL unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS u(j)
+)
+"""
+
+
+def _plane_signs(plane: int, dim: int = EMB_DIM) -> list[float]:
+    from memorious_spark.operators.similarity import _plane_sign
+
+    return [_plane_sign(plane, d) for d in range(dim)]
+
+
+_F64_DOT = (
+    "(SELECT sum(({a})[j]::DOUBLE * ({b})[j]::DOUBLE) "
+    "FROM unnest(generate_series(1, {dim})) t(j))"
+)
+
+
+def _cosine_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    dot = _F64_DOT.format(a=a, b=b, dim=dim)
+    na = _F64_DOT.format(a=a, b=a, dim=dim)
+    nb = _F64_DOT.format(a=b, b=b, dim=dim)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def _lang_sql() -> str:
+    def occ(m: str) -> str:
+        return (
+            f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}"
+        )
+
+    score = {
+        lang: "(" + " + ".join(occ(m) for m in ms) + ")"
+        for lang, ms in _MARKERS.items()
+    }
+    # same strictly-greater fold as textops.lang_guess
+    expr = "CASE "
+    order = list(_MARKERS)
+    for i, lang in enumerate(order):
+        strictly_beats = [f"{score[lang]} > {score[o]}" for o in order[:i]]
+        at_least = [f"{score[lang]} >= {score[o]}" for o in order[i + 1:]]
+        conds = [f"{score[lang]} > 0"] + strictly_beats + at_least
+        expr += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    expr += "ELSE 'und' END"
+    return f"""
+    WITH p_ AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)
+    SELECT doc_id, {expr} AS lang_guess FROM p_
+    """
+
+
+def _stop_sql() -> str:
+    terms = " + ".join(
+        f"(length(p) - length(replace(p, '{w}', ''))) / {len(w)}"
+        for w in _STOPWORDS
+    )
+    return f"({terms})"
+
+
+# ----------------------------------------------------------------------
+# entry / queries / oracle_sql
+# ----------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full frontier crawl of the sf0.001 synthetic web,
+    returning the stored page rows."""
+    store = _run_crawl(spark, "/root/testdata/sf0.001")
+    results = store.read_all(spark, "results", 60)
+    return results.select(
+        "url", "final_url", "host", "depth", "status_code", "content_type",
+        "content_hash", "title",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from memorious_spark.functions import checks, textops
+    from memorious_spark.functions.urls import host_col, norm_col
+    from memorious_spark.operators import dedup, similarity
+    from memorious_spark.operators.frontier import politeness_dequeue
+    from memorious_spark.operators.initializers import (
+        dates, enumerate_items, seed, sequence,
+    )
+    from memorious_spark.operators.seen import dedup_new
+    from memorious_spark.operators.sinks import merge_upsert
+    from memorious_spark.plans.rules import compile_rule
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- crawl engine ---------------------------------------------------
+    def crawl_bfs_seen(spark, sf_dir):
+        store = _run_crawl(spark, sf_dir)
+        seen = store.read_all(spark, "seen", 60)
+        return seen.select(F.col("value").alias("url")).distinct()
+
+    def crawl_min_depth(spark, sf_dir):
+        # redirect-free corpus: frontier membership is then
+        # order-independent and exactly SQL-expressible (see corpus.py)
+        store = _run_crawl(spark, sf_dir, redirects=False)
+        dfs = []
+        for r in range(60):
+            df = store.read_round(spark, "frontier", r)
+            if df is None:
+                break
+            dfs.append(df.select("url", "depth"))
+        allf = dfs[0]
+        for d in dfs[1:]:
+            allf = allf.unionByName(d)
+        return allf.groupBy("url").agg(F.min("depth").cast("int").alias("min_depth"))
+
+    def politeness_budget(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        frontier = ev.select(
+            F.col("event_id"),
+            F.col("user_id").cast("string").alias("host"),
+            F.lit(0.0).alias("priority"),
+            F.col("event_id").alias("emit_seq"),
+        )
+        selected, _carry = politeness_dequeue(frontier, budget=5)
+        return selected.select("event_id", "host")
+
+    def dedup_anti_join(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        cands = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://h"), F.col("doc_id") % 7,
+                F.lit(".example.com/doc/"), F.col("doc_id"),
+            ).alias("url"),
+        ).withColumn("url_hash", F.xxhash64("url"))
+        seen = (
+            cands.filter(F.col("doc_id") % 3 == 0)
+            .select(F.col("url_hash"))
+        )
+        return dedup_new(cands, seen).select("doc_id", "url")
+
+    def incremental_skip(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        now = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+        seen = (
+            ev.filter(F.col("event_type") == "signup")
+            .select(
+                "user_id",
+                (F.col("ts") + F.expr("INTERVAL 2 DAYS")).alias("expires_at"),
+            )
+            .filter(F.col("expires_at") > now)
+            .select("user_id")
+            .distinct()
+        )
+        cands = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id"
+        )
+        return cands.join(seen, "user_id", "left_anti").select("event_id", "user_id")
+
+    def merge_first_last_seen(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        cutoff = F.to_timestamp(F.lit("2024-01-08 00:00:00"))
+        stamp = F.to_timestamp(F.lit("2024-01-05 00:00:00"))
+        existing = (
+            ev.filter(F.col("ts") < cutoff)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"))
+            .withColumn("__first_seen", stamp)
+            .withColumn("__last_seen", stamp)
+        )
+        batch = (
+            ev.filter(F.col("ts") >= cutoff)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+        return merge_upsert(existing, batch, ["user_id"], now="2024-02-01 00:00:00")
+
+    # -- initializers ----------------------------------------------------
+    def seed_gen(spark, sf_dir):
+        return seed(
+            spark,
+            ["https://h0.example.com/doc/%(num)s", "https://h1.example.com/"],
+            {"num": 7},
+        )
+
+    def enumerate_gen(spark, sf_dir):
+        return enumerate_items(spark, ["alpha", "beta", "gamma"])
+
+    def sequence_gen(spark, sf_dir):
+        return sequence(spark, start=10, stop=5000, step=7)
+
+    def dates_gen(spark, sf_dir):
+        return dates(spark, "2024-01-01", "2024-01-31", days=3)
+
+    # -- scalar kernels ---------------------------------------------------
+    def url_kernel(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        messy = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("HTTPS://H"), F.col("doc_id") % 7,
+                F.lit(".Example.COM:443/doc/"), F.col("doc_id"),
+                F.lit("?q="), F.col("doc_id") % 3, F.lit("#frag"),
+            ).alias("url"),
+        )
+        return messy.select(
+            "doc_id",
+            norm_col(F.col("url")).alias("url_norm"),
+            host_col(F.col("url")).alias("host"),
+        )
+
+    def make_id(spark, sf_dir):
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        return nation.select(
+            "n_nationkey",
+            F.sha2(F.concat_ws(":", F.lit("crawler"), F.col("n_name")), 256).alias(
+                "key_id"
+            ),
+        )
+
+    def rule_filter(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        rows = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+                F.col("doc_id"),
+            ).alias("url"),
+            F.when(F.col("lang") == "en", "text/html")
+            .when(F.col("lang") == "es", "application/pdf")
+            .otherwise("image/png")
+            .alias("content_type"),
+            F.lit(None).cast("string").alias("text"),
+        )
+        rule = {
+            "and": [
+                {"domain": "example.com"},
+                {"not": {"mime_group": "images"}},
+                {"or": [
+                    {"mime_type": "text/html"},
+                    {"pattern": r"https://src[0-2]\."},
+                ]},
+            ]
+        }
+        return rows.filter(compile_rule(rule)).select("doc_id", "url", "content_type")
+
+    def metrics_rollup(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        return ev.groupBy("event_type").agg(
+            F.count("*").alias("n_ops"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+
+    def check_validators(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        return docs.select(
+            "doc_id",
+            checks.is_not_empty(F.col("text")).alias("nonempty"),
+            checks.is_integer(F.col("n_chars")).alias("int_ok"),
+            checks.match_regexp(F.col("lang"), "^[a-z]{2}$").alias("lang_ok"),
+            checks.has_length(F.col("lang"), 2).alias("len_ok"),
+            checks.must_contain(F.col("source"), "src").alias("src_ok"),
+        )
+
+    # -- dedup family -----------------------------------------------------
+    def exact_dedup(spark, sf_dir):
+        return dedup.exact_dedup(_docs(spark, sf_dir))
+
+    def minhash_lsh_dedup(spark, sf_dir):
+        return dedup.minhash_lsh_pairs(
+            _docs(spark, sf_dir), n_perm=N_PERM, bands=N_BANDS
+        )
+
+    def ngram_jaccard_dedup(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+    def simhash_dedup(spark, sf_dir):
+        return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+    def embedding_dup_pairs(spark, sf_dir):
+        return dedup.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+    # -- similarity search --------------------------------------------------
+    def _query_vec(spark, sf_dir):
+        row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).first()
+        return [float(x) for x in row["embedding"]]
+
+    def embedding_knn(spark, sf_dir):
+        return similarity.knn_brute_force(
+            _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10
+        )
+
+    def ann_lsh_knn(spark, sf_dir):
+        return similarity.knn_lsh(
+            _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
+            n_planes=KNN_PLANES,
+        )
+
+    # -- text analysis -----------------------------------------------------
+    def lang_id(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", textops.lang_guess(F.col("text")).alias("lang_guess")
+        )
+
+    def text_quality(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        return docs.select(
+            "doc_id",
+            textops.token_count(F.col("text")).alias("tokens"),
+            F.round(textops.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
+            textops.quality_score(F.col("text")).alias("quality"),
+        )
+
+    def doc_fingerprint(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", textops.fingerprint(F.col("text")).alias("fingerprint")
+        )
+
+    # -- multimodal + archives ----------------------------------------------
+    def media_features(spark, sf_dir):
+        from memorious_spark.operators.multimodal import (
+            attach_media_meta, extract_features,
+        )
+
+        ship_package(spark)
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+        )
+        feats = extract_features(attach_media_meta(docs))
+        return feats.select(
+            "media_id",
+            "n_bytes",
+            F.round(F.element_at("features", 1).cast("double"), 6).alias("feat0"),
+            F.round(F.element_at("features", 2).cast("double"), 6).alias("feat1"),
+        )
+
+    def extract_archive(spark, sf_dir):
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        from memorious_spark.operators.extract import extract_stage
+
+        ship_package(spark)
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+        def make_zip(batches):
+            for pdf in batches:
+                payloads = []
+                for r in pdf.itertuples():
+                    buf = io.BytesIO()
+                    with zipfile.ZipFile(buf, "w") as zf:
+                        info = zipfile.ZipInfo(
+                            f"doc_{r.doc_id}.txt", date_time=(1980, 1, 1, 0, 0, 0)
+                        )
+                        zf.writestr(info, r.text or "")
+                    payloads.append(buf.getvalue())
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        zips = docs.mapInPandas(make_zip, "doc_id long, payload binary")
+        members = extract_stage(zips, "payload")
+        return members.select("doc_id", "file_name", "n_bytes")
+
+    def clean_html_op(spark, sf_dir):
+        """Rows-only check: clean_html over corpus pages, new hash."""
+        from memorious_spark.operators.parse import clean_html_udf
+
+        ship_package(spark)
+        corpus, _ = _corpus(spark, sf_dir)
+        pages = corpus.filter(
+            F.col("status_code") == 200
+        ).filter(F.col("content_type").startswith("text/html"))
+        cleaner = clean_html_udf([".//img", ".//iframe"])
+        return pages.select(
+            "url",
+            F.sha1(F.encode(cleaner(F.col("html"), F.col("content_type")), "utf-8"))
+            .alias("clean_hash"),
+        )
+
+    return {
+        "crawl_bfs_seen": crawl_bfs_seen,
+        "crawl_min_depth": crawl_min_depth,
+        "politeness_budget": politeness_budget,
+        "dedup_anti_join": dedup_anti_join,
+        "incremental_skip": incremental_skip,
+        "merge_first_last_seen": merge_first_last_seen,
+        "seed_gen": seed_gen,
+        "enumerate_gen": enumerate_gen,
+        "sequence_gen": sequence_gen,
+        "dates_gen": dates_gen,
+        "url_kernel": url_kernel,
+        "make_id": make_id,
+        "rule_filter": rule_filter,
+        "metrics_rollup": metrics_rollup,
+        "check_validators": check_validators,
+        "exact_dedup": exact_dedup,
+        "minhash_lsh_dedup": minhash_lsh_dedup,
+        "ngram_jaccard_dedup": ngram_jaccard_dedup,
+        "simhash_dedup": simhash_dedup,
+        "embedding_dup_pairs": embedding_dup_pairs,
+        "embedding_knn": embedding_knn,
+        "ann_lsh_knn": ann_lsh_knn,
+        "lang_id": lang_id,
+        "text_quality": text_quality,
+        "doc_fingerprint": doc_fingerprint,
+        "media_features": media_features,
+        "extract_archive": extract_archive,
+        "clean_html_op": clean_html_op,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    r = N_PERM // N_BANDS
+    band_joins = "\nUNION\n".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
+        f"JOIN bands b ON a.b{b} = b.b{b} AND a.doc_id < b.doc_id"
+        for b in range(N_BANDS)
+    )
+    plane_arrays = [
+        "[" + ", ".join(str(s) for s in _plane_signs(p)) + "]"
+        for p in range(KNN_PLANES)
+    ]
+    bucket_bits = " + ".join(
+        f"(CASE WHEN {_F64_DOT.format(a='e.embedding', b=plane_arrays[p], dim=EMB_DIM)} > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(KNN_PLANES)
+    )
+    q_bucket_bits = " + ".join(
+        f"(CASE WHEN {_F64_DOT.format(a='q.qv', b=plane_arrays[p], dim=EMB_DIM)} > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(KNN_PLANES)
+    )
+
+    return {
+        "crawl_bfs_seen": f"""
+            {_REACH_CTE},
+            seen_urls AS (
+              SELECT {_DOC_URL.format(x='u.t')} AS url
+              FROM resolved rc, LATERAL ({_TARGETS}) u
+              UNION
+              SELECT {_CSS_URL.format(x='rc.c')}
+              FROM resolved rc
+              WHERE {_HTML_COND} AND rc.c % 4 = 0
+              UNION
+              SELECT {_DOC_URL.format(x='rc.c')}
+              FROM resolved rc
+              WHERE rc.d % 23 <> 0 AND rc.d % 19 = 0
+            )
+            SELECT DISTINCT url FROM seen_urls
+        """,
+        # no-redirect corpus: kind = gone(%23) / pdf(%17) / html
+        "crawl_min_depth": f"""
+            WITH RECURSIVE reach(d, depth) AS (
+              SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0), (1, 0), (2, 0)) v(d, depth)
+              UNION
+              SELECT u.t, rc.depth + 1
+              FROM (
+                SELECT f.d AS c, f.depth AS depth,
+                       (SELECT count(*) FROM documents) AS n
+                FROM reach f
+                WHERE f.d % 23 <> 0 AND f.d % 17 <> 0
+              ) rc,
+              LATERAL (
+                SELECT unnest(list_concat(
+                  [(7*rc.c+1) % rc.n, (7*rc.c+12) % rc.n, (7*rc.c+23) % rc.n,
+                   (7*rc.c+34) % rc.n],
+                  CASE WHEN rc.c % 2 = 0 THEN [(7*rc.c+45) % rc.n] ELSE [] END)) AS t
+              ) u
+              WHERE rc.depth < 35
+            ),
+            doc_depth AS (
+              SELECT {_DOC_URL.format(x='d')} AS url, min(depth) AS min_depth
+              FROM reach GROUP BY d
+            ),
+            css_depth AS (
+              SELECT {_CSS_URL.format(x='d')} AS url, min(depth) + 1 AS min_depth
+              FROM reach
+              WHERE d % 23 <> 0 AND d % 17 <> 0 AND d % 4 = 0
+              GROUP BY d % 7
+            )
+            SELECT url, CAST(min(min_depth) AS INT) AS min_depth
+            FROM (SELECT * FROM doc_depth UNION ALL SELECT * FROM css_depth)
+            GROUP BY url
+        """,
+        "politeness_budget": """
+            SELECT event_id, CAST(user_id AS VARCHAR) AS host
+            FROM (
+              SELECT event_id, user_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) rn
+              FROM events
+            ) WHERE rn <= 5
+        """,
+        "dedup_anti_join": """
+            SELECT doc_id,
+                   'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id AS url
+            FROM documents WHERE doc_id % 3 <> 0
+        """,
+        "incremental_skip": """
+            SELECT e.event_id, e.user_id
+            FROM events e
+            WHERE e.event_type = 'click'
+              AND NOT EXISTS (
+                SELECT 1 FROM events s
+                WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+                  AND s.ts + INTERVAL 2 DAY > TIMESTAMP '2024-01-15 00:00:00'
+              )
+        """,
+        "merge_first_last_seen": """
+            WITH pre AS (
+              SELECT user_id, count(*) AS n FROM events
+              WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY user_id
+            ),
+            post AS (
+              SELECT user_id, count(*) AS n FROM events
+              WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' GROUP BY user_id
+            )
+            SELECT coalesce(pre.user_id, post.user_id) AS user_id,
+                   coalesce(post.n, pre.n) AS n_events,
+                   CASE WHEN pre.user_id IS NULL
+                        THEN TIMESTAMP '2024-02-01 00:00:00'
+                        ELSE TIMESTAMP '2024-01-05 00:00:00' END AS __first_seen,
+                   CASE WHEN post.user_id IS NULL
+                        THEN TIMESTAMP '2024-01-05 00:00:00'
+                        ELSE TIMESTAMP '2024-02-01 00:00:00' END AS __last_seen
+            FROM pre FULL OUTER JOIN post ON pre.user_id = post.user_id
+        """,
+        "seed_gen": """
+            SELECT * FROM (VALUES
+              ('https://h0.example.com/doc/7', CAST(0 AS BIGINT)),
+              ('https://h1.example.com/', 1)) t(url, seq)
+        """,
+        "enumerate_gen": """
+            SELECT * FROM (VALUES
+              ('alpha', CAST(0 AS BIGINT)), ('beta', 1), ('gamma', 2)) t(item, seq)
+        """,
+        "sequence_gen": "SELECT i AS number FROM range(10, 5000, 7) t(i)",
+        "dates_gen": """
+            SELECT d AS date, strftime(d, '%Y-%m-%d') AS date_iso
+            FROM (SELECT unnest(generate_series(
+              TIMESTAMP '2024-01-31', TIMESTAMP '2024-01-01',
+              INTERVAL '-3' DAY)) AS d)
+        """,
+        "url_kernel": """
+            SELECT doc_id,
+                   'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id
+                     || '?q=' || (doc_id % 3) AS url_norm,
+                   'h' || (doc_id % 7) || '.example.com' AS host
+            FROM documents
+        """,
+        "make_id": """
+            SELECT n_nationkey, sha256('crawler:' || n_name) AS key_id FROM nation
+        """,
+        "rule_filter": """
+            SELECT doc_id,
+                   'https://' || source || '.example.com/doc/' || doc_id AS url,
+                   CASE WHEN lang = 'en' THEN 'text/html'
+                        WHEN lang = 'es' THEN 'application/pdf'
+                        ELSE 'image/png' END AS content_type
+            FROM documents
+            WHERE (CASE WHEN lang = 'en' THEN 'text/html'
+                        WHEN lang = 'es' THEN 'application/pdf'
+                        ELSE 'image/png' END) NOT LIKE 'image/%'
+              AND (lang = 'en'
+                   OR regexp_matches(
+                        'https://' || source || '.example.com/doc/' || doc_id,
+                        '^(?:https://src[0-2]\\.)'))
+        """,
+        "metrics_rollup": """
+            SELECT event_type, count(*) AS n_ops,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "check_validators": """
+            SELECT doc_id,
+                   (text IS NOT NULL AND length(trim(text)) > 0) AS nonempty,
+                   regexp_matches(CAST(n_chars AS VARCHAR), '^-?[0-9]+$') AS int_ok,
+                   regexp_matches(lang, '^[a-z]{2}$') AS lang_ok,
+                   (length(lang) = 2) AS len_ok,
+                   contains(source, 'src') AS src_ok
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 2
+        """,
+        "minhash_lsh_dedup": f"""
+            WITH {_SHINGLES_CTE},
+            mins AS ({_minhash_sql_mins()}),
+            bands AS ({_minhash_sql_bands()})
+            SELECT DISTINCT id_a, id_b FROM ({band_joins})
+        """,
+        "ngram_jaccard_dedup": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(shared / (na.n + nb.n - shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes na ON na.doc_id = id_a
+            JOIN sizes nb ON nb.doc_id = id_b
+            WHERE round(shared / (na.n + nb.n - shared), 6) >= 0.8
+        """,
+        "embedding_dup_pairs": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.35
+        """,
+        "embedding_knn": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round({_cosine_sql('e.embedding', 'q.qv')}, 6) AS cosine
+            FROM embeddings e, q
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "ann_lsh_knn": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            qb AS (SELECT ({q_bucket_bits}) AS qbucket FROM q),
+            b AS (
+              SELECT e.vec_id, e.embedding, ({bucket_bits}) AS bucket
+              FROM embeddings e
+            )
+            SELECT b.vec_id,
+                   round({_cosine_sql('b.embedding', 'q.qv')}, 6) AS cosine
+            FROM b, q, qb WHERE b.bucket = qb.qbucket
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "lang_id": _lang_sql(),
+        "text_quality": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     ' ' || text || ' ' AS p,
+                     (length(text) - length(replace(text, ' ', '')) + 1) AS tokens
+              FROM documents
+            )
+            SELECT doc_id, tokens,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         / length(text), 6) AS alpha_ratio,
+                   round(
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       / length(text) * 0.5
+                     + least(tokens / 100.0, 1.0) * 0.3
+                     + least({_stop_sql()} / tokens, 1.0) * 0.2, 6) AS quality
+            FROM base
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   round(CAST(('0x' || substr(md5(text), 1, 2)) AS INT) / 255.0, 6) AS feat0,
+                   round(CAST(('0x' || substr(md5(text), 3, 2)) AS INT) / 255.0, 6) AS feat1
+            FROM documents
+        """,
+        "extract_archive": """
+            SELECT doc_id, 'doc_' || doc_id || '.txt' AS file_name,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        """,
+        # simhash_dedup, clean_html_op: non-SQL-expressible (hash bit math /
+        # DOM surgery) → rows-only checks by design.
+    }

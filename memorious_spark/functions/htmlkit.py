@@ -263,6 +263,30 @@ def extract_links(
     return out
 
 
+def clean_html(text: str | None, remove_paths: list[str]) -> str | None:
+    """Drop DOM subtrees matching ``remove_paths``, re-serialize.
+
+    The clean_html operation of memorious/operations/clean.py:11-26
+    (remove_paths XPaths → re-serialized document with a new content
+    hash). Serialization contract is ElementTree's html method —
+    defined by THIS kernel, shared engine/oracle.
+    """
+    root = parse_html(text)
+    if root is None:
+        return None
+    for path in remove_paths:
+        victims = set(map(id, _findall(root, path)))
+        if not victims:
+            continue
+        for parent in root.iter():
+            for child in list(parent):
+                if id(child) in victims:
+                    parent.remove(child)
+    from xml.etree.ElementTree import tostring
+
+    return tostring(root, encoding="unicode", method="html")
+
+
 def extract_meta(
     root: Element | None, meta_paths: dict[str, list[str]]
 ) -> dict[str, str]:

@@ -1,0 +1,144 @@
+"""Text-analysis functions for large-scale corpus curation.
+
+All hot-path functions are pure Column expressions (JVM-side,
+whole-stage codegen) — no Python in the loop. Each has an exact ANSI
+SQL twin used by the DuckDB oracle in ``__spark_entry__.py``, so the
+semantics are pinned cross-engine, not just "looks right".
+
+These extend the reference's surface (memorious has no text analytics
+beyond scrapers) toward the training-data-pipeline ops a 100 TB
+corpus needs: token counting, quality scoring, language ID,
+fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = [
+    "token_count",
+    "alpha_ratio",
+    "stopword_hits",
+    "quality_score",
+    "lang_guess",
+    "fingerprint",
+    "shingles",
+    "minhash_signature",
+]
+
+# language → marker words (spaces matter: match whole tokens mid-text)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+}
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Occurrence count via the length-difference identity —
+    exactly replicable in any SQL dialect."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))
+    ) / len(needle)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (single-space-normalized input).
+
+    SQL twin: ``length(t) - length(replace(t,' ','')) + 1``.
+    """
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters.
+
+    SQL twin: ``length(regexp_replace(t,'[^a-zA-Z]','','g')) / length(t)``.
+    """
+    return F.length(F.regexp_replace(text, "[^a-zA-Z]", "")) / F.length(text)
+
+
+def stopword_hits(text: Column) -> Column:
+    """Count of common-English stopword occurrences (padded match)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    out = F.lit(0.0)
+    for w in (" the ", " a ", " and ", " of ", " to "):
+        out = out + _occurrences(padded, w)
+    return out
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1]-ish quality heuristic: alpha ratio ×
+    saturating length term + stopword presence bonus."""
+    n = token_count(text).cast("double")
+    sat_len = F.least(n / F.lit(100.0), F.lit(1.0))
+    stop_frac = F.least(stopword_hits(text) / n, F.lit(1.0))
+    return F.round(
+        alpha_ratio(text) * F.lit(0.5) + sat_len * F.lit(0.3) + stop_frac * F.lit(0.2),
+        6,
+    )
+
+
+def lang_guess(text: Column) -> Column:
+    """Marker-word language ID: argmax of per-language marker counts,
+    'und' when all zero. Deterministic tie-break by language order."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_occurrences(padded, m) for m in markers), start=F.lit(0.0)
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    # iterate in fixed order; strictly-greater keeps earlier langs on ties
+    for lang, score in scores.items():
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of lowercased, space-collapsed text.
+
+    SQL twin: ``md5(trim(regexp_replace(lower(t),'\\s+',' ','g')))``.
+    """
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingles as an array<string> (word n-grams); texts
+    shorter than k tokens yield one truncated shingle.
+
+    SQL twin in DuckDB: list comprehension over ``string_split``.
+    """
+    toks = F.split(F.trim(text), " ")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda j: F.concat_ws(" ", F.slice(toks, j, k)),
+    )
+
+
+def minhash_signature(shingle_col: Column, n_perm: int = 16) -> Column:
+    """MinHash signature as array<string>: per permutation ``i``, the
+    lexicographic min of ``md5(i || ':' || shingle)``.
+
+    Using md5-strings keeps the signature bit-for-bit reproducible in
+    any engine with md5 (the DuckDB oracle computes the identical
+    signature); min-of-hash over strings preserves the MinHash
+    collision property (P[sig_i equal] = Jaccard).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )

@@ -126,6 +126,29 @@ def parse_stage(fetched: DataFrame, config: ParseConfig | None = None) -> DataFr
     return out
 
 
+def clean_html_udf(remove_paths: list[str]):
+    """clean_html op (memorious/operations/clean.py:11-26): drop DOM
+    subtrees matching remove_paths, re-serialize. Returns a
+    (html binary, content_type_raw string) → cleaned html string UDF."""
+    paths = list(remove_paths)
+
+    @F.pandas_udf(StringType())
+    def _clean(html: pd.Series, ct: pd.Series) -> pd.Series:  # pragma: no cover
+        return pd.Series(
+            [
+                htmlkit.clean_html(
+                    htmlkit.extract_text(
+                        bytes(b) if b is not None else None, c
+                    ),
+                    paths,
+                )
+                for b, c in zip(html, ct)
+            ]
+        )
+
+    return _clean
+
+
 def extract_links_df(parsed: DataFrame) -> DataFrame:
     """Explode outbound links → candidate rows for the next frontier
     round. Base-URL resolution already happened inside the UDF

@@ -9,30 +9,90 @@ Scale design (10^10-URL frontier):
 - Candidates are pre-hashed (``url_hash = xxhash64(url_norm)``); the
   seen table stores only hashes + scope columns, bucketable by
   ``url_hash`` so the anti-join co-partitions without a re-shuffle.
-- A broadcast Bloom filter (``df.stat.bloomFilter``) built over the
-  *seen* side prunes the candidate shuffle before the exact anti-join.
-  The bloom is a bandwidth optimization only: false positives are
-  caught (kept) by the exact anti-join that follows, so no URL is ever
-  wrongly dropped. Build cost is one scan of the seen side; skip it
-  when the seen side is small enough to broadcast-anti-join directly.
+- Default path: exact ``left_anti`` join; Spark's runtime bloom-filter
+  join injection (``spark.sql.optimizer.runtime.bloomFilter.enabled``,
+  set in session.py) prunes the shuffle on its own.
+- Large-seen path: an explicit broadcast Bloom built distributed
+  (mapPartitions → numpy bitmap → treeReduce OR), probed by an
+  Arrow-batched vectorized UDF BEFORE the shuffle. The bloom is a
+  bandwidth optimization only — false positives are caught (kept) by
+  the exact anti-join that follows, so no URL is ever wrongly
+  dropped (test_operators.py::test_dedup_new_bloom_path forces this
+  path and asserts exactness).
 - Expiry (`expires_at`) reproduces the reference's ``expire × 84600``
   quirk (sic, not 86400 — memorious/logic/crawler.py:50).
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["EXPIRE_QUIRK_SECONDS", "dedup_new", "seen_entries"]
+__all__ = ["EXPIRE_QUIRK_SECONDS", "dedup_new", "seen_entries", "build_bloom"]
 
 # The reference multiplies `expire` (days) by 84600 — a long-standing
 # off-by-1800 quirk we reproduce for parity (memorious/logic/crawler.py:50).
 EXPIRE_QUIRK_SECONDS = 84600
 
-# Below this many distinct seen hashes, skip the bloom and let Spark
-# broadcast the anti-join side directly.
+# Below this many seen hashes, a plain anti-join (with Spark's own
+# runtime bloom injection) wins; above it, the explicit broadcast
+# bloom prunes the candidate shuffle first.
 _BLOOM_MIN_ROWS = 4_000_000
 _BLOOM_FPP = 0.01
+_MULT = 0x9E3779B97F4A7C15
+_MASK = (1 << 64) - 1
+
+
+def _bloom_params(expected: int, fpp: float) -> tuple[int, int]:
+    m = max(1024, int(-expected * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / expected * math.log(2)))
+    return m, min(k, 8)
+
+
+def build_bloom(df: DataFrame, key: str, expected: int, fpp: float = _BLOOM_FPP):
+    """Distributed Bloom build over a 64-bit-hash column: per-partition
+    numpy bitmaps OR-combined via treeReduce. Returns (bitmap, m, k)."""
+    m, k = _bloom_params(expected, fpp)
+    m_bytes = (m + 7) // 8
+
+    def part(rows):
+        arr = np.zeros(m_bytes, dtype=np.uint8)
+        for row in rows:
+            h = row[0]
+            if h is None:
+                continue
+            h1 = h & _MASK
+            h2 = ((h * _MULT) & _MASK) | 1
+            for i in range(k):
+                # mask to 64 bits: must match the numpy-uint64 wraparound
+                # arithmetic of the vectorized probe exactly
+                idx = ((h1 + i * h2) & _MASK) % m
+                arr[idx >> 3] |= 1 << (idx & 7)
+        yield arr
+
+    bitmap = df.select(key).rdd.mapPartitions(part).treeReduce(np.bitwise_or)
+    return bitmap, m, k
+
+
+def _probe_udf(spark, bitmap: np.ndarray, m: int, k: int):
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf("boolean")
+    def _maybe_seen(h: pd.Series) -> pd.Series:  # pragma: no cover (executor)
+        arr = bc.value
+        hv = h.to_numpy(dtype=np.uint64, na_value=0)
+        hit = np.ones(len(hv), dtype=bool)
+        h2 = ((hv * np.uint64(_MULT)) & np.uint64(_MASK)) | np.uint64(1)
+        for i in range(k):
+            idx = (hv + np.uint64(i) * h2) % np.uint64(m)
+            hit &= (arr[(idx >> np.uint64(3)).astype(np.int64)]
+                    & (1 << (idx & np.uint64(7))).astype(np.uint8)) != 0
+        return pd.Series(hit & h.notna().to_numpy())
+
+    return _maybe_seen
 
 
 def dedup_new(
@@ -52,15 +112,10 @@ def dedup_new(
         return candidates
     seen_keys = seen.select(key).distinct()
     if seen_count is not None and seen_count >= _BLOOM_MIN_ROWS:
-        bloom = seen_keys.stat.bloomFilter(key, seen_count, _BLOOM_FPP)
-        bloom_bc = candidates.sparkSession.sparkContext.broadcast(bloom)
-
-        @F.udf("boolean")
-        def _maybe_seen(h):  # pragma: no cover (executor)
-            return h is not None and bloom_bc.value.mightContain(h)
-
-        definitely_new = candidates.filter(~_maybe_seen(F.col(key)))
-        maybe = candidates.filter(_maybe_seen(F.col(key)))
+        bitmap, m, k = build_bloom(seen_keys, key, seen_count)
+        maybe_seen = _probe_udf(candidates.sparkSession, bitmap, m, k)
+        definitely_new = candidates.filter(~maybe_seen(F.col(key)))
+        maybe = candidates.filter(maybe_seen(F.col(key)))
         confirmed_new = maybe.join(seen_keys, key, "left_anti")
         return definitely_new.unionByName(confirmed_new)
     return candidates.join(seen_keys, key, "left_anti")
@@ -72,10 +127,15 @@ def seen_entries(
     run_id: str,
     kind: str,
     key: str = "url_hash",
+    value: str | None = None,
     expire_days: int | None = None,
     now_ts: str = "2024-01-01 00:00:00",
 ) -> DataFrame:
-    """Project rows into the seen-table schema (FIXTURES.md §4)."""
+    """Project rows into the seen-table schema (FIXTURES.md §4).
+
+    ``value`` names a column to keep as the tag payload (the reference
+    stores JSON values, memorious/logic/context.py:114-117; we keep
+    the normalized URL for link tags — optional at scale)."""
     created = F.to_timestamp(F.lit(now_ts))
     expires = (
         created + F.expr(f"INTERVAL {expire_days * EXPIRE_QUIRK_SECONDS} SECONDS")
@@ -87,7 +147,7 @@ def seen_entries(
         F.lit(crawler).alias("crawler"),
         F.lit(run_id).alias("run_id"),
         F.lit(kind).alias("kind"),
-        F.lit(None).cast("string").alias("value"),
+        (F.col(value) if value else F.lit(None).cast("string")).alias("value"),
         created.alias("created_at"),
         expires.alias("expires_at"),
     )

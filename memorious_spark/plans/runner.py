@@ -161,10 +161,11 @@ class CrawlRunner:
             redirect_tags = (
                 parsed.filter(F.col("redirected_from").isNotNull())
                 .select(
-                    hash_col(norm_col(F.col("final_url"))).alias("url_hash"),
+                    norm_col(F.col("final_url")).alias("url_norm"),
                     F.col("emit_seq").alias("tagger_seq"),
                 )
-                .groupBy("url_hash")
+                .withColumn("url_hash", hash_col(F.col("url_norm")))
+                .groupBy("url_hash", "url_norm")
                 .agg(F.min("tagger_seq").alias("tagger_seq"))
             )
 
@@ -180,7 +181,11 @@ class CrawlRunner:
             cands = dedup_within_round(cands, ["src_emit_seq", "link_idx"])
             # same-round redirect tags block only later emitters
             cands = (
-                cands.join(F.broadcast(redirect_tags), "url_hash", "left")
+                cands.join(
+                    F.broadcast(redirect_tags.select("url_hash", "tagger_seq")),
+                    "url_hash",
+                    "left",
+                )
                 .filter(
                     F.col("tagger_seq").isNull()
                     | (F.col("tagger_seq") > F.col("src_emit_seq"))
@@ -217,11 +222,11 @@ class CrawlRunner:
             # seen append: emitted links + redirect targets
             seen_rows = seen_entries(
                 new_links, cfg.name, store.dir.name, "link",
-                expire_days=cfg.expire_days,
+                value="url_norm", expire_days=cfg.expire_days,
             ).unionByName(
                 seen_entries(
-                    redirect_tags.select("url_hash"), cfg.name, store.dir.name,
-                    "redirect", expire_days=cfg.expire_days,
+                    redirect_tags, cfg.name, store.dir.name,
+                    "redirect", value="url_norm", expire_days=cfg.expire_days,
                 )
             )
             store.write_round("seen", rnd, seen_rows)

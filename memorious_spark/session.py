@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime bloom-filter join injection prunes big-side scans by the
+        # small side's key set. NOTE: do NOT also enable
+        # runtimeFilter.semiJoinReduction — it hangs RDD jobs on 4.1.2.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -88,8 +88,14 @@ def page_record(
     text: str | None,
     lang: str | None,
     hot_mod: int | None = None,
+    redirects: bool = True,
 ) -> dict:
-    """Build one corpus row (pages ∪ page_meta columns) deterministically."""
+    """Build one corpus row (pages ∪ page_meta columns) deterministically.
+
+    ``redirects=False`` turns the %19 redirect rows into plain HTML —
+    used by oracles that need an order-independent frontier set
+    (whether a redirect target gets its own frontier row depends on
+    emit order, which plain SQL can't express)."""
     url = doc_url(doc_id, hot_mod)
     warc_ts = EPOCH + timedelta(seconds=doc_id)
     base = dict(url=url, warc_ts=warc_ts, lang=lang)
@@ -98,7 +104,7 @@ def page_record(
             **base, html=None, text=None,
             content_type="text/html", status_code=404, redirect_to=None,
         )
-    if doc_id % 19 == 0:
+    if redirects and doc_id % 19 == 0:
         return dict(
             **base, html=None, text=None,
             content_type="text/html", status_code=301,
@@ -162,6 +168,7 @@ def build_corpus(
     n_docs: int,
     hot_mod: int | None = None,
     replicate: int = 1,
+    redirects: bool = True,
 ) -> DataFrame:
     """Corpus DataFrame from a ``documents``-shaped input (doc_id, text, lang).
 
@@ -184,7 +191,7 @@ def build_corpus(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                page_record(int(r.doc_id), total, r.text, r.lang, hot_mod)
+                page_record(int(r.doc_id), total, r.text, r.lang, hot_mod, redirects)
                 for r in pdf.itertuples()
             ]
             yield pd.DataFrame(rows, columns=_COLS)

@@ -1,0 +1,264 @@
+"""Unit tests for initializers, sinks, dedup, textops, similarity,
+extract, multimodal, checks — mirroring the emit-count/payload
+assertions of the reference's test_operations.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from memorious_spark.functions import checks, textops
+from memorious_spark.operators import dedup, similarity
+from memorious_spark.operators.extract import extract_members, extract_stage
+from memorious_spark.operators.frontier import politeness_dequeue
+from memorious_spark.operators.initializers import (
+    dates, enumerate_items, seed, sequence,
+)
+from memorious_spark.operators.multimodal import (
+    attach_media_meta, extract_features, fake_image_features,
+)
+from memorious_spark.operators.seen import dedup_new
+from memorious_spark.operators.sinks import directory_sink, merge_upsert
+
+
+# ---- initializers (reference test_operations.py:95-149 semantics) ----
+
+def test_seed_templating(spark):
+    df = seed(spark, ["http://x.com/%(n)s"], {"n": 5})
+    assert [r["url"] for r in df.collect()] == ["http://x.com/5"]
+
+
+def test_sequence_counts(spark):
+    assert sequence(spark, 1, 10, 1).count() == 9
+    assert [r["number"] for r in sequence(spark, 0, 10, 3).collect()] == [0, 3, 6, 9]
+
+
+def test_dates_backwards(spark):
+    rows = dates(spark, "2024-01-01", "2024-01-10", days=3).collect()
+    isos = [r["date_iso"] for r in rows]
+    assert isos == ["2024-01-10", "2024-01-07", "2024-01-04", "2024-01-01"]
+
+
+def test_enumerate(spark):
+    assert enumerate_items(spark, ["a", "b"]).count() == 2
+
+
+# ---- politeness carryover ------------------------------------------------
+
+def test_politeness_carryover_fifo(spark):
+    rows = [(f"u{i}", "hostA" if i < 8 else "hostB", 0.0, i) for i in range(10)]
+    frontier = spark.createDataFrame(
+        rows, "url string, host string, priority double, emit_seq long"
+    )
+    sel, carry = politeness_dequeue(frontier, budget=3)
+    sel_rows = sel.collect()
+    assert sum(1 for r in sel_rows if r["host"] == "hostA") == 3
+    assert sum(1 for r in sel_rows if r["host"] == "hostB") == 2
+    # FIFO within host: the 3 selected hostA rows are the lowest emit_seq
+    a_sel = sorted(r["emit_seq"] for r in sel_rows if r["host"] == "hostA")
+    assert a_sel == [0, 1, 2]
+    assert carry.count() == 5
+
+
+def test_politeness_robots_gate(spark):
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.com/private/x", "a.com", 0.0, 0),
+            ("https://a.com/pub/y", "a.com", 0.0, 1),
+            ("https://b.com/z", "b.com", 0.0, 2),
+        ],
+        "url string, host string, priority double, emit_seq long",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", ["/private"], 10)],
+        "host string, disallow_prefixes array<string>, crawl_delay_budget int",
+    )
+    sel, carry = politeness_dequeue(frontier, budget=10, robots=robots)
+    urls = {r["url"] for r in sel.collect()} | {r["url"] for r in carry.collect()}
+    assert "https://a.com/private/x" not in urls
+    assert "https://a.com/pub/y" in urls and "https://b.com/z" in urls
+
+
+# ---- seen-set --------------------------------------------------------------
+
+def test_dedup_new_bloom_path(spark):
+    cands = spark.range(1000).select(F.col("id").alias("url_hash"))
+    seen = spark.range(0, 1000, 2).select(F.col("id").alias("url_hash"))
+    # force the bloom path by lying about size — exactness must hold anyway
+    out = dedup_new(cands, seen, seen_count=10_000_000)
+    got = sorted(r["url_hash"] for r in out.collect())
+    assert got == list(range(1, 1000, 2))
+
+
+# ---- sinks ------------------------------------------------------------------
+
+def test_merge_upsert_first_last_seen(spark):
+    existing = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    ).withColumn("__first_seen", F.to_timestamp(F.lit("2024-01-01"))).withColumn(
+        "__last_seen", F.to_timestamp(F.lit("2024-01-01"))
+    )
+    batch = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    out = merge_upsert(existing, batch, ["k"], now="2024-02-01")
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[1]["v"] == "a" and str(rows[1]["__last_seen"]) == "2024-01-01 00:00:00"
+    assert rows[2]["v"] == "B" and str(rows[2]["__last_seen"]) == "2024-02-01 00:00:00"
+    assert str(rows[2]["__first_seen"]) == "2024-01-01 00:00:00"
+    assert rows[3]["v"] == "c" and str(rows[3]["__first_seen"]) == "2024-02-01 00:00:00"
+
+
+def test_directory_sink(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("http://x/1", "hash1", "text one"), ("http://x/2", "hash2", "two")],
+        "url string, content_hash string, text string",
+    )
+    n = directory_sink(df, str(tmp_path), "mycrawler")
+    assert n == 2
+    data = (tmp_path / "mycrawler" / "hash1.data").read_text()
+    assert data == "text one"
+    import json
+
+    meta = json.loads((tmp_path / "mycrawler" / "hash1.json").read_text())
+    assert meta["url"] == "http://x/1" and "text" not in meta
+
+
+# ---- dedup family ------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (3, "completely different words appear in this document here"),
+        (4, "another unrelated text with its own set of tokens"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["dup_count"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 2  # 0 and 1 collapse, min id kept
+    assert 1 not in out and out[2] == 1
+
+
+def test_minhash_and_jaccard_find_near_dups(docs):
+    mh = {
+        (r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert (0, 1) in mh  # exact dups always collide
+    jc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert jc[(0, 1)] == 1.0
+    assert 0.5 <= jc[(0, 2)] < 1.0
+    assert (0, 3) not in jc
+
+
+def test_simhash_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical text → identical signature
+
+
+def test_embedding_dup_and_knn(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    dups = {
+        (r["id_a"], r["id_b"]) for r in dedup.embedding_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert dups == {(0, 1)}
+    knn = similarity.knn_brute_force(emb, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in knn] == [0, 1]
+    ann = similarity.knn_lsh(emb, [1.0, 0.0, 0.0], k=2, n_planes=2).collect()
+    assert 0 in [r["vec_id"] for r in ann]  # query's own bucket contains it
+
+
+# ---- textops -------------------------------------------------------------------
+
+def test_textops(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog of the house",)], "text string"
+    )
+    row = df.select(
+        textops.token_count(F.col("text")).alias("n"),
+        textops.lang_guess(F.col("text")).alias("lang"),
+        textops.fingerprint(F.col("text")).alias("fp"),
+        F.round(textops.alpha_ratio(F.col("text")), 6).alias("alpha"),
+    ).first()
+    assert row["n"] == 8
+    assert row["lang"] == "en"
+    import hashlib
+
+    assert row["fp"] == hashlib.md5(b"the cat and the dog of the house").hexdigest()
+    assert 0 < row["alpha"] < 1
+
+
+# ---- archives -------------------------------------------------------------------
+
+def test_extract_zip_and_tar(spark):
+    import io
+    import tarfile
+    import zipfile
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("a/1.txt", "one")
+        zf.writestr("b/2.txt", "two")
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+        data = b"three"
+        info = tarfile.TarInfo("c/3.txt")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+
+    assert [m["file_name"] for m in extract_members(zbuf.getvalue())] == [
+        "a/1.txt", "b/2.txt",
+    ]
+    assert extract_members(zbuf.getvalue(), wildcard="a/*")[0]["file_name"] == "a/1.txt"
+    assert extract_members(tbuf.getvalue())[0]["content"] == b"three"
+    assert extract_members(b"not an archive") == []
+
+    df = spark.createDataFrame(
+        [(1, zbuf.getvalue()), (2, tbuf.getvalue())], "id long, payload binary"
+    )
+    out = extract_stage(df).collect()
+    assert len(out) == 3
+    assert {r["file_name"] for r in out} == {"a/1.txt", "b/2.txt", "c/3.txt"}
+
+
+# ---- multimodal -----------------------------------------------------------------
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, b"imagebytes"), (2, None)], "media_id long, payload binary"
+    )
+    out = extract_features(attach_media_meta(df)).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[1]["features"] == fake_image_features(b"imagebytes")
+    assert by_id[2]["features"] == [0.0] * 8
+    assert by_id[1]["n_bytes"] == 10 and by_id[1]["content_hash"] is not None
+    from memorious_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x")
+
+
+# ---- checks ---------------------------------------------------------------------
+
+def test_checks(spark):
+    df = spark.createDataFrame([("12", "ab"), ("x3", "")], "a string, b string")
+    got = df.select(
+        checks.is_numeric(F.col("a")).alias("num"),
+        checks.is_not_empty(F.col("b")).alias("ne"),
+    ).collect()
+    assert [r["num"] for r in got] == [True, False]
+    assert [r["ne"] for r in got] == [True, False]
+    with pytest.raises(ValueError):
+        checks.assert_valid(df, checks.is_numeric(F.col("a")), "numeric-a")
