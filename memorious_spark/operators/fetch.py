@@ -38,7 +38,6 @@ Outcome taxonomy:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 __all__ = ["fetch_stage", "FRONTIER_COLS"]
 
@@ -110,8 +109,11 @@ def fetch_stage(
     pc = _prefixed(corpus)
     hits = pc.join(
         maybe_bc(selected), pc["f_url"] == selected["url_norm"], "inner"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
+    )
+    # NOT persisted: caching 10^5-10^6 rows of html measurably beats up
+    # storage memory at high core counts; a broadcast hash join over the
+    # (cached) corpus re-executes in seconds and keeps memory flat. The
+    # downstream parse output IS persisted (it's 10× smaller, no html).
     hit_keys = hits.select("url_norm").distinct()
     missing = selected.join(F.broadcast(hit_keys), "url_norm", "left_anti").select(
         *FRONTIER_COLS
@@ -144,4 +146,4 @@ def fetch_stage(
     )  # dangling redirects drop out of the inner join
     fetched_redirected = _finalize(rjoined, redirected_from=True)
 
-    return fetched_direct.unionByName(fetched_redirected), retry, [hits]
+    return fetched_direct.unionByName(fetched_redirected), retry, []

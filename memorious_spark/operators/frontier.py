@@ -124,6 +124,17 @@ def assign_emit_seq(
     )
 
 
+def ensure_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Respread a DataFrame that arrives in too few partitions (e.g. a
+    single small parquet split) so CPU-bound stages actually fan out.
+    No-op when the input is already parallel enough — never adds a
+    shuffle to a well-partitioned scale-sized input."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(target // 2, 2):
+        return df
+    return df.repartition(target, key) if key else df.repartition(target)
+
+
 def salt_partitions(df: DataFrame, n_partitions: int | None = None) -> DataFrame:
     """Re-spread budget-selected rows by url hash so a hot host's rows
     don't pin one task through fetch/parse (the explicit hot-host

@@ -19,9 +19,7 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (
-    ArrayType, IntegerType, MapType, StringType, StructField, StructType,
-)
+from pyspark.sql.types import StringType
 
 from memorious_spark.functions import htmlkit
 from memorious_spark.functions.mime import NON_HTML
@@ -42,85 +40,81 @@ class ParseConfig:
     schema: str | None = None
 
 
-_PARSED_TYPE = StructType(
-    [
-        StructField("title", StringType()),
-        StructField("text", StringType()),
-        StructField("meta", MapType(StringType(), StringType())),
-        StructField(
-            "properties", MapType(StringType(), ArrayType(StringType()))
-        ),
-        StructField(
-            "links",
-            ArrayType(
-                StructType(
-                    [
-                        StructField("url", StringType()),
-                        StructField("link_title", StringType()),
-                        StructField("idx", IntegerType()),
-                    ]
-                )
-            ),
-        ),
-    ]
+# links come back as PARALLEL FLAT ARRAYS (url[i], title[i]); the
+# array<struct> shape is assembled JVM-side in extract_links_df —
+# python-object→Arrow conversion of list-of-dict columns measured ~10×
+# slower than flat string arrays.
+_PARSE_OUT_FIELDS = (
+    "title string, text string, meta map<string,string>, "
+    "properties map<string,array<string>>, "
+    "link_urls array<string>, link_titles array<string>"
 )
 
 
-def _make_parse_udf(config: ParseConfig):
+def parse_stage(fetched: DataFrame, config: ParseConfig | None = None) -> DataFrame:
+    """Add title/text/meta/properties/links columns; input needs
+    ``final_url``, ``html``, ``content_type_raw`` (fetch_stage output).
+
+    One ``mapInPandas`` pass, NOT a struct-returning pandas_udf +
+    field projection: Catalyst inlines a struct UDF once per extracted
+    field (measured 5× re-evaluation of the whole parse). The ``html``
+    binary is consumed here and dropped from the output — downstream
+    stages never need the raw bytes, so they stop riding the Arrow
+    stream (the reference's pass-hash-not-body economy, SURVEY.md §3.3).
+    """
+    config = config or ParseConfig()
     meta_paths = dict(config.meta)
     properties = dict(config.properties)
     include = list(config.include_paths) if config.include_paths else None
     link_titles = config.link_titles
 
-    def parse_batch(
-        url: pd.Series, html: pd.Series, content_type_raw: pd.Series
-    ) -> pd.DataFrame:
-        out = {"title": [], "text": [], "meta": [], "properties": [], "links": []}
-        for u, body, ct in zip(url, html, content_type_raw):
-            body = bytes(body) if body is not None else None
-            text = htmlkit.extract_text(body, ct)
-            mime = (ct or "").split(";", 1)[0].strip().lower()
-            root = (
-                htmlkit.parse_html(text)
-                if text is not None and mime not in NON_HTML
-                else None
-            )
-            out["title"].append(htmlkit.page_title(root))
-            out["text"].append(text)
-            out["meta"].append(htmlkit.extract_meta(root, meta_paths))
-            out["properties"].append(
-                htmlkit.extract_properties(root, properties)
-            )
-            out["links"].append(
-                [
-                    {"url": lu, "link_title": lt, "idx": idx}
-                    for lu, lt, idx in htmlkit.extract_links(
-                        root, u, include, link_titles
-                    )
-                ]
-            )
-        return pd.DataFrame(out)
+    keep_cols = [c for c in fetched.columns if c != "html"]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in fetched.schema.fields
+        if f.name != "html"
+    ) + ", " + _PARSE_OUT_FIELDS
 
-    return F.pandas_udf(parse_batch, _PARSED_TYPE)
+    def parse_batches(batches):
+        for pdf in batches:
+            titles, texts, metas, props = [], [], [], []
+            lurls, ltitles = [], []
+            for u, body, ct in zip(
+                pdf["final_url"], pdf["html"], pdf["content_type_raw"]
+            ):
+                body = bytes(body) if body is not None else None
+                text = htmlkit.extract_text(body, ct)
+                mime = (ct or "").split(";", 1)[0].strip().lower()
+                root = (
+                    htmlkit.parse_html(text)
+                    if text is not None and mime not in NON_HTML
+                    else None
+                )
+                titles.append(htmlkit.page_title(root))
+                texts.append(text)
+                metas.append(
+                    htmlkit.extract_meta(root, meta_paths) if meta_paths else None
+                )
+                props.append(
+                    htmlkit.extract_properties(root, properties)
+                    if properties
+                    else None
+                )
+                found = htmlkit.extract_links(root, u, include, link_titles)
+                lurls.append([lu for lu, _t, _i in found])
+                ltitles.append(
+                    [lt for _u, lt, _i in found] if link_titles else None
+                )
+            out = pdf[keep_cols].copy()
+            out["title"] = titles
+            out["text"] = texts
+            out["meta"] = metas
+            out["properties"] = props
+            out["link_urls"] = lurls
+            out["link_titles"] = ltitles
+            yield out
 
-
-def parse_stage(fetched: DataFrame, config: ParseConfig | None = None) -> DataFrame:
-    """Add ``parsed`` struct (title/text/meta/properties/links) and
-    flatten it; input needs ``final_url``, ``html``,
-    ``content_type_raw`` columns (fetch_stage output)."""
-    config = config or ParseConfig()
-    udf = _make_parse_udf(config)
-    parsed = fetched.withColumn(
-        "parsed", udf(F.col("final_url"), F.col("html"), F.col("content_type_raw"))
-    )
-    out = parsed.select(
-        "*",
-        F.col("parsed.title").alias("title"),
-        F.col("parsed.text").alias("text"),
-        F.col("parsed.meta").alias("meta"),
-        F.col("parsed.properties").alias("properties"),
-        F.col("parsed.links").alias("links"),
-    ).drop("parsed")
+    out = fetched.mapInPandas(parse_batches, out_schema)
     if config.schema is not None:
         out = out.withColumn("schema", F.lit(config.schema))
     return out
@@ -153,16 +147,19 @@ def extract_links_df(parsed: DataFrame) -> DataFrame:
     """Explode outbound links → candidate rows for the next frontier
     round. Base-URL resolution already happened inside the UDF
     (urljoin against the post-redirect final_url, as the reference
-    resolves against response.url, parse.py:45)."""
+    resolves against response.url, parse.py:45). ``link_idx`` is the
+    within-page emit position — the deterministic-order key — and
+    falls out of ``posexplode`` for free."""
     return parsed.select(
         F.col("final_url").alias("src_url"),
         F.col("emit_seq").alias("src_emit_seq"),
         (F.col("depth") + 1).alias("depth"),
-        F.explode("links").alias("link"),
+        F.posexplode("link_urls").alias("link_idx", "url"),
+        F.col("link_titles"),
     ).select(
-        F.col("link.url").alias("url"),
-        F.col("link.link_title").alias("link_title"),
-        F.col("link.idx").alias("link_idx"),
+        "url",
+        F.col("link_titles").getItem(F.col("link_idx")).alias("link_title"),
+        F.col("link_idx").cast("int"),
         "src_url",
         "src_emit_seq",
         "depth",

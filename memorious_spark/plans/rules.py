@@ -41,7 +41,24 @@ from memorious_spark.functions import htmlkit
 from memorious_spark.functions.mime import GROUPS, normalize_mimetype
 from memorious_spark.functions.urls import host_col, py_host
 
-__all__ = ["RuleError", "compile_rule", "compile_py"]
+__all__ = ["RuleError", "compile_rule", "compile_py", "uses_text"]
+
+
+def uses_text(spec: dict | None) -> bool:
+    """True if the rule tree contains an xpath leaf (the only rule
+    needing the decoded body) — callers use this to decide whether the
+    gate can run before text extraction (lazy-fetch economy) or must
+    run after."""
+    if not isinstance(spec, dict):
+        return False
+    [(name, value)] = spec.items() if len(spec) == 1 else [(None, None)]
+    if name == "xpath":
+        return True
+    if name in ("or", "any", "and", "all"):
+        return any(uses_text(c) for c in value)
+    if name == "not":
+        return uses_text(value)
+    return False
 
 
 class RuleError(ValueError):

@@ -26,6 +26,8 @@ round. Metrics carry per-partition lineage rows
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -47,6 +49,23 @@ _RESULT_COLS = [
     "content_type", "content_hash", "retrieved_at", "title", "text",
     "meta", "properties", "src_url",
 ]
+
+
+_TIMING = os.environ.get("MEMSPARK_TIMING") == "1"
+
+
+class _Phase:
+    """Opt-in per-phase wall-clock tracing (MEMSPARK_TIMING=1)."""
+
+    def __init__(self, rnd: int):
+        self.rnd = rnd
+        self.t = time.time()
+
+    def mark(self, label: str) -> None:
+        if _TIMING:
+            now = time.time()
+            print(f"  [round {self.rnd}] {label}: {now - self.t:.1f}s", flush=True)
+            self.t = now
 
 
 @dataclass
@@ -71,6 +90,9 @@ class CrawlRunner:
         self.config = config
         self.store = store
         self.robots = robots
+        from memorious_spark.plans.rules import uses_text
+
+        self._fetch_rule_needs_text = uses_text(config.fetch_rules)
 
     # ---- frontier construction -------------------------------------
     def _seed_frontier(self) -> DataFrame:
@@ -97,7 +119,16 @@ class CrawlRunner:
         )
 
     # ---- main loop ---------------------------------------------------
-    def run(self, corpus: DataFrame, resume: bool = False) -> RunResult:
+    def run(
+        self,
+        corpus: DataFrame,
+        resume: bool = False,
+        initial_frontier: DataFrame | None = None,
+    ) -> RunResult:
+        """``initial_frontier`` (url string, emit_seq long) seeds round 0
+        from a DataFrame instead of the config's literal seed list —
+        the scale path for huge seed sets (a billion-URL frontier never
+        goes through the driver)."""
         cfg, store, spark = self.config, self.store, self.spark
         fetch_rule = cfg.fetch_rule_col()
         store_rule = cfg.store_rule_col()
@@ -112,9 +143,15 @@ class CrawlRunner:
             }
             store.truncate_after(start_round)  # drop partial writes
         else:
-            start_round, next_seq, seen_count = 0, len(cfg.seeds), 0
+            if initial_frontier is not None:
+                frontier0 = self._frontier_shape(initial_frontier, depth=F.lit(0))
+                n_seeds = frontier0.count()
+            else:
+                frontier0 = self._seed_frontier()
+                n_seeds = len(cfg.seeds)
+            start_round, next_seq, seen_count = 0, n_seeds, 0
             totals = {"fetched": 0, "stored": 0}
-            store.write_round("frontier", 0, self._seed_frontier())
+            store.write_round("frontier", 0, frontier0)
 
         rnd = start_round
         status = "done"
@@ -122,35 +159,53 @@ class CrawlRunner:
             if store.abort_requested():
                 status = "aborted"
                 break
+            ph = _Phase(rnd)
             frontier = store.read_round(spark, "frontier", rnd)
             if frontier is None or not frontier.head(1):
                 break
+            ph.mark("read frontier")
 
             seen = store.read_all(spark, "seen", rnd - 1)
 
-            # politeness budget + hot-host salting
-            selected, carryover = politeness_dequeue(
-                frontier, cfg.budget_per_host, self.robots
-            )
+            # politeness budget + hot-host salting. No configured rate
+            # limit and no robots → no parking semantics to enforce →
+            # skip the per-host window entirely (one less shuffle; the
+            # reference only parks stages when a limit exists,
+            # memorious/model/queue.py:30-37).
+            if cfg.budget_per_host >= 1_000_000_000 and self.robots is None:
+                selected, carryover = frontier, None
+            else:
+                selected, carryover = politeness_dequeue(
+                    frontier, cfg.budget_per_host, self.robots
+                )
             selected = salt_partitions(selected).persist()
             n_selected = selected.count()
+            ph.mark(f"politeness+salt ({n_selected})")
 
             # fetch = corpus join (broadcast frontier side when small)
             fetched, retry, fetch_persisted = fetch_stage(
                 selected, corpus, cfg.retries, selected_count=n_selected
             )
-            gated = fetched.filter(fetch_rule)
-            parsed = parse_stage(gated, cfg.parse).withColumn(
-                "retrieved_at", F.col("warc_ts")
-            )
-            parsed = parsed.persist()
+            # rules that don't touch the body gate BEFORE parse (the
+            # lazy-fetch economy of memorious/operations/fetch.py:16);
+            # xpath rules need the decoded text → gate after parse
+            if self._fetch_rule_needs_text:
+                parsed = parse_stage(fetched, cfg.parse).filter(fetch_rule)
+            else:
+                parsed = parse_stage(fetched.filter(fetch_rule), cfg.parse)
+            parsed = parsed.withColumn("retrieved_at", F.col("warc_ts"))
+            # serialized persist: deserialized caching of row objects with
+            # long text columns causes GC/storage contention at high core
+            # counts (local[32] measured SLOWER than local[8] without this)
+            from pyspark.storagelevel import StorageLevel as _SL
+            parsed = parsed.persist(_SL.MEMORY_AND_DISK)
             n_fetched = parsed.count()
+            ph.mark(f"fetch+parse ({n_fetched})")
 
             stored = parsed.filter(store_rule).select(*_RESULT_COLS)
             store.write_round("results", rnd, stored)
-            n_stored = (
-                store.read_round(spark, "results", rnd).count()
-            )
+            n_stored = stored.count()  # cheap: parsed is persisted
+            ph.mark(f"results write ({n_stored})")
 
             # fetch-time seen tags: redirect targets (fetch.py:31-33).
             # tagger_seq preserves the sequential-interleaving contract:
@@ -197,11 +252,21 @@ class CrawlRunner:
                 if seen is not None
                 else None
             )
-            new_links = dedup_new(cands, seen_keys, seen_count=seen_count + 1)
-            new_links = assign_emit_seq(
-                new_links, ["src_emit_seq", "link_idx"], start=next_seq
-            ).persist()
-            n_new = new_links.count()
+            # materialize the dedup chain ONCE before sequence
+            # assignment — assign_emit_seq's internal size-collect would
+            # otherwise re-execute the whole explode/window/anti-join
+            new0 = dedup_new(cands, seen_keys, seen_count=seen_count + 1).persist()
+            n_new = new0.count()
+            if n_new:
+                new_links = assign_emit_seq(
+                    new0, ["src_emit_seq", "link_idx"], start=next_seq
+                ).persist()
+                new_links.count()
+            else:
+                new_links = new0.withColumn(
+                    "emit_seq", F.lit(None).cast("long")
+                )
+            ph.mark(f"dedup+emit_seq ({n_new})")
             next_seq += n_new
 
             new_frontier_rows = new_links.select(
@@ -214,10 +279,11 @@ class CrawlRunner:
                 "emit_seq",
                 F.lit(0).alias("attempt"),
             )
-            next_frontier = carryover.unionByName(retry).unionByName(
-                new_frontier_rows
-            )
+            next_frontier = retry.unionByName(new_frontier_rows)
+            if carryover is not None:
+                next_frontier = carryover.unionByName(next_frontier)
             store.write_round("frontier", rnd + 1, next_frontier)
+            ph.mark("frontier write")
 
             # seen append: emitted links + redirect targets
             seen_rows = seen_entries(
@@ -230,29 +296,32 @@ class CrawlRunner:
                 )
             )
             store.write_round("seen", rnd, seen_rows)
+            ph.mark("seen write")
             seen_count = seen_count + n_new  # redirect tags are few; bloom sizing only
 
             # metrics: round summary + per-partition lineage
-            lineage = (
-                parsed.groupBy(F.spark_partition_id().alias("partition_id"))
+            # per-partition lineage: collect the (tiny) partition
+            # histogram, write ONE local 1-partition parquet — a
+            # distributed union-write of 36 rows costs several whole
+            # Spark jobs of scheduling latency per round
+            lineage_rows = (
+                selected.groupBy(F.spark_partition_id().alias("pid"))
                 .agg(F.count("*").alias("rows"))
-                .select(
-                    F.lit(rnd).alias("round"),
-                    F.lit("parse").alias("stage"),
-                    "partition_id",
-                    "rows",
-                )
+                .collect()
             )
-            summary = spark.createDataFrame(
-                [
-                    (rnd, "round_summary", -1, n_selected),
-                    (rnd, "fetched", -1, n_fetched),
-                    (rnd, "stored", -1, n_stored),
-                    (rnd, "new_links", -1, n_new),
-                ],
-                "round int, stage string, partition_id int, rows long",
-            )
-            store.write_round("metrics", rnd, lineage.unionByName(summary))
+            metrics_rows = [
+                dict(round=rnd, stage="fetch_input",
+                     partition_id=int(r["pid"]), rows=int(r["rows"]))
+                for r in lineage_rows
+            ] + [
+                dict(round=rnd, stage=stage, partition_id=-1, rows=n)
+                for stage, n in [
+                    ("round_summary", n_selected), ("fetched", n_fetched),
+                    ("stored", n_stored), ("new_links", n_new),
+                ]
+            ]
+            store.write_round_local("metrics", rnd, metrics_rows)
+            ph.mark("metrics write")
 
             totals["fetched"] += n_fetched
             totals["stored"] += n_stored
@@ -267,11 +336,14 @@ class CrawlRunner:
                     "urls_seen": seen_count,
                 },
             )
+            ph.mark("commit")
             selected.unpersist()
             parsed.unpersist()
+            new0.unpersist()
             new_links.unpersist()
             for df in fetch_persisted:
                 df.unpersist()
+            ph.mark("unpersist")
             rnd += 1
 
         store.finish(status)

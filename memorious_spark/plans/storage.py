@@ -51,6 +51,24 @@ class RunStore:
         assert table in _TABLES, table
         df.write.mode("overwrite").parquet(self.round_path(table, rnd))
 
+    def write_round_local(
+        self, table: str, rnd: int, rows: list[dict]
+    ) -> None:
+        """Driver-side parquet write for tiny tables (metrics rows).
+
+        Round-tripping a 36-row local relation through a Spark write
+        job costs ~5s of scheduling+commit; pyarrow writes it in
+        microseconds and spark.read.parquet reads it identically."""
+        assert table in _TABLES, table
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = Path(self.round_path(table, rnd))
+        path.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(rows), path / "part-00000.parquet"
+        )
+
     def read_round(self, spark: SparkSession, table: str, rnd: int) -> DataFrame | None:
         p = self.round_path(table, rnd)
         if not os.path.isdir(p):

@@ -187,6 +187,14 @@ def build_corpus(
             "text",
             "lang",
         )
+    # a small-sf documents.parquet is a single split and broadcast
+    # crossJoin preserves partitioning — without this respread, every
+    # downstream mapInPandas (and the fetch-join output feeding parse)
+    # runs on 1-2 partitions, i.e. nearly single-threaded
+    n_parts = max(
+        spark.sparkContext.defaultParallelism, (total + 49_999) // 50_000
+    )
+    src = src.repartition(n_parts, "doc_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
