@@ -1,0 +1,84 @@
+"""Physical-plan assertions — the scale posture, checked in CI.
+
+These lock in the plan shapes that matter at 100 TB: the fetch join
+must broadcast the frontier side (never shuffle the corpus), rule
+filters and column selection must push into the parquet scan, and the
+rule predicates must stay inside whole-stage codegen (no Python in the
+hot path). A regression here is a performance bug even when results
+stay correct — exactly the class of bug that only shows at scale.
+"""
+
+from pyspark.sql import functions as F
+
+from memorious_spark.operators.fetch import fetch_stage
+from memorious_spark.plans.rules import compile_rule
+from memorious_spark.sources.corpus import build_corpus
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_fetch_join_broadcasts_frontier(spark, tmp_path):
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"), F.lit("en").alias("lang")
+    )
+    corpus = build_corpus(spark, docs, 200)
+    frontier = corpus.limit(10).select(
+        "url", F.col("url").alias("url_norm"), F.xxhash64("url").alias("url_hash"),
+        F.lit("h").alias("host"), F.lit(0).alias("depth"), F.lit(0.0).alias("priority"),
+        F.lit(None).cast("string").alias("src_url"),
+        F.lit(None).cast("int").alias("link_idx"),
+        F.lit(0).cast("long").alias("emit_seq"), F.lit(0).alias("attempt"),
+    )
+    fetched, _retry, _p = fetch_stage(frontier, corpus, selected_count=10)
+    plan = _plan(fetched)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # the corpus side must never shuffle for the fetch join
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_parquet_scan_pushdown(spark, tmp_path):
+    path = str(tmp_path / "pages")
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"), F.lit("en").alias("lang")
+    )
+    build_corpus(spark, docs, 500).write.parquet(path)
+    pages = spark.read.parquet(path)
+    q = pages.filter(F.col("status_code") == 200).select("url", "status_code")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(status_code), EqualTo(status_code,200)]" in plan, plan
+    # column pruning: the scan must not read html/text for a 2-col projection
+    assert "ReadSchema: struct<url:string,status_code:int>" in plan, plan
+
+
+def test_rule_filter_is_codegen_not_python(spark):
+    df = spark.createDataFrame(
+        [("https://a.occrp.org/x", "text/html", None)],
+        "url string, content_type string, text string",
+    )
+    rule = {
+        "and": [
+            {"domain": "occrp.org"},
+            {"or": [{"mime_group": "web"}, {"pattern": "https://docs"}]},
+        ]
+    }
+    plan = _plan(df.filter(compile_rule(rule)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # "*(n)" prefixes mark whole-stage-codegen stages in toString output
+    assert "*(1) Filter" in plan, plan
+
+
+def test_no_cartesian_in_lsh_pairs(spark):
+    from memorious_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "some repeated words here for shingles " * 3) for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(minhash_lsh_pairs(docs))
+    assert "CartesianProduct" not in plan, plan[:2000]
