@@ -583,9 +583,12 @@ def oracle_sql() -> dict[str, str]:
               FROM resolved rc
               WHERE {_HTML_COND} AND rc.c % 4 = 0
               UNION
-              SELECT {_DOC_URL.format(x='rc.c')}
+              -- fetch tags the redirect SOURCE url post-gates
+              -- (memorious/operations/fetch.py:30-33): only when the
+              -- resolved target is ok (not the %23 404s)
+              SELECT {_DOC_URL.format(x='rc.d')}
               FROM resolved rc
-              WHERE rc.d % 23 <> 0 AND rc.d % 19 = 0
+              WHERE rc.d % 23 <> 0 AND rc.d % 19 = 0 AND rc.c % 23 <> 0
             )
             SELECT DISTINCT url FROM seen_urls
         """,

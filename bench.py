@@ -224,7 +224,7 @@ def main() -> None:
     # the "same job, same input, two parallelism levels" rule — sized so
     # the lo run finishes in minutes; the headline run uses the full
     # REPLICATE corpus
-    eff_replicate = int(os.environ.get("BENCH_EFF_REPLICATE", "40"))
+    eff_replicate = int(os.environ.get("BENCH_EFF_REPLICATE", "80"))
     results = {}
     for cpus in (lo_cpus, mid_cpus, CPUS):
         args = [sys.executable, str(REPO / "bench.py"), "--worker",

@@ -13,33 +13,45 @@ corpus`` degrades to a full corpus shuffle. Instead:
   hash join: ONE scan of the corpus, zero shuffle, and Spark 4's
   runtime bloom/DPP machinery can prune corpus files by the
   broadcast side's key set.
-- misses = ``frontier LEFT ANTI broadcast(hit_keys)`` — the hit-key
-  set is ≤ the politeness budget, always broadcastable.
+- misses = ``frontier LEFT ANTI hit_keys`` (:func:`retry_rows`) —
+  computed by the caller from the round's *persisted* parse output,
+  so the corpus is scanned exactly ONCE per round (a second scan for
+  retry bookkeeping measurably dominated small rounds).
 
 Past ``_BROADCAST_MAX_ROWS`` the frontier side falls back to a
 key-partitioned shuffle join (AQE handles skew); on a real deployment
 the corpus is bucketed by url so even that path avoids re-shuffling
 the 100 TB side.
 
-Outcome taxonomy:
-- corpus row with 2xx/3xx/4xx → emitted downstream (rules gate what
-  proceeds, as in fetch.py:17-20); ``ok`` = HTTP 200.
+Outcome taxonomy (reference-faithful):
+- ``ok`` = status < 400, exactly requests' ``Response.ok`` used by the
+  reference (memorious/logic/http.py:299-303). Non-ok rows (4xx/5xx)
+  are fetched but NOT emitted downstream unless ``emit_errors``
+  (fetch.py:22-26) — the runner gates on it.
 - single-hop redirect (301/302 + redirect_to) → re-joined to the
-  target row; BOTH urls enter the seen set (the reference tags
-  redirect targets, fetch.py:31-33).
-- missing corpus row / 5xx → transient failure → re-enqueued into the
-  next round with ``attempt+1`` (the exponential-backoff retry loop of
-  fetch.py:36-42 discretized to rounds), dropped after ``retries``.
+  target row; the SOURCE url is tagged into the seen set after the
+  rule+ok gates (fetch.py:31-33 tags ``make_key(run_id, url)`` with
+  the *requested* url — the runner implements the tag).
+- missing corpus row → transient failure → re-enqueued into the next
+  round with ``attempt+1`` (the network-error retry loop of
+  fetch.py:35-42 discretized to rounds), dropped after ``retries``.
+  HTTP error statuses do NOT retry (the reference only recurses on
+  RequestException, i.e. transport errors).
 
 ``F.sha1(html)`` reproduces the reference's content hash
 (memorious/logic/http.py:190-199).
+
+Contract: ``corpus.url`` must be canonical (pre-normalized) — both
+the main join and redirect resolution join normalized keys against it.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["fetch_stage", "FRONTIER_COLS"]
+from memorious_spark.functions.urls import norm_col
+
+__all__ = ["fetch_stage", "retry_rows", "FRONTIER_COLS"]
 
 _BROADCAST_MAX_ROWS = 2_000_000
 
@@ -82,23 +94,24 @@ def _finalize(joined: DataFrame, redirected_from: bool) -> DataFrame:
         F.when(F.col("f_html").isNotNull(), F.sha1(F.col("f_html"))).alias(
             "content_hash"
         ),
-        (F.col("f_status") == 200).alias("ok"),
+        # requests' Response.ok (status < 400) — the reference's emit gate
+        (F.col("f_status") < 400).alias("ok"),
     )
 
 
 def fetch_stage(
     selected: DataFrame,
     corpus: DataFrame,
-    retries: int = 3,
     broadcast_frontier: bool | None = None,
     selected_count: int | None = None,
-) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+) -> DataFrame:
     """Join the budget-selected frontier rows against the corpus.
 
-    Returns ``(fetched, retry, persisted)``: fetched rows carry
-    content + response metadata (redirects resolved); retry rows are
-    frontier-shaped with ``attempt+1``; ``persisted`` DataFrames must
-    be unpersisted by the caller once the round is materialized.
+    Returns every hit (any status) with content + response metadata,
+    redirects resolved single-hop. Gating (rules, ok) and retry of
+    misses are the runner's job — this stage never drops a joined row,
+    so its output is the single source of truth for the round's fetch
+    outcomes (one corpus scan per round).
     """
     if broadcast_frontier is None:
         broadcast_frontier = (
@@ -111,39 +124,45 @@ def fetch_stage(
         maybe_bc(selected), pc["f_url"] == selected["url_norm"], "inner"
     )
     # NOT persisted: caching 10^5-10^6 rows of html measurably beats up
-    # storage memory at high core counts; a broadcast hash join over the
-    # (cached) corpus re-executes in seconds and keeps memory flat. The
-    # downstream parse output IS persisted (it's 10× smaller, no html).
-    hit_keys = hits.select("url_norm").distinct()
-    missing = selected.join(F.broadcast(hit_keys), "url_norm", "left_anti").select(
-        *FRONTIER_COLS
-    )
-    transient = hits.filter(F.col("f_status") >= 500).select(*FRONTIER_COLS)
-    retry = (
-        missing.unionByName(transient)
-        .withColumn("attempt", F.col("attempt") + 1)
-        .filter(F.col("attempt") <= retries)
-    )
-
-    present = hits.filter(F.col("f_status") < 500)
-    direct = present.filter(
+    # storage memory at high core counts; the downstream parse output IS
+    # persisted (it's 10× smaller, no html) and carries the hit keys.
+    direct = hits.filter(
         ~F.col("f_status").isin(301, 302) | F.col("f_redirect_to").isNull()
     )
     fetched_direct = _finalize(direct, redirected_from=False)
 
     # Single-hop redirect resolution: one more broadcast-inner scan,
-    # only for the (typically tiny) redirect subset.
-    redirects = present.filter(
+    # only for the (typically tiny) redirect subset. The target key is
+    # normalized like every other join key (corpus urls are canonical).
+    redirects = hits.filter(
         F.col("f_status").isin(301, 302) & F.col("f_redirect_to").isNotNull()
     ).select(
         *FRONTIER_COLS,
         F.col("url").alias("_redir_src"),
-        F.col("f_redirect_to").alias("_target"),
+        norm_col(F.col("f_redirect_to")).alias("_target"),
     )
     pc2 = _prefixed(corpus)
     rjoined = pc2.join(
         F.broadcast(redirects), pc2["f_url"] == F.col("_target"), "inner"
     )  # dangling redirects drop out of the inner join
-    fetched_redirected = _finalize(rjoined, redirected_from=True)
+    return fetched_direct.unionByName(_finalize(rjoined, redirected_from=True))
 
-    return fetched_direct.unionByName(fetched_redirected), retry, []
+
+def retry_rows(
+    selected: DataFrame, hit_keys: DataFrame, retries: int
+) -> DataFrame:
+    """Frontier rows whose url joined NO corpus row this round →
+    re-enqueue with ``attempt+1``, dropped past ``retries``.
+    ``hit_keys`` (url_norm) should come from the round's persisted
+    parse output so this never re-scans the corpus.
+
+    SHUFFLE_HASH, not broadcast: both sides are budget-bounded and
+    cached, and a broadcast build of ~selected-size keys is a *serial*
+    driver cost every round (measurably flattens N→4N scaling),
+    whereas the shuffle parallelizes with the cluster."""
+    return (
+        selected.join(hit_keys.hint("shuffle_hash"), "url_norm", "left_anti")
+        .select(*FRONTIER_COLS)
+        .withColumn("attempt", F.col("attempt") + 1)
+        .filter(F.col("attempt") <= retries)
+    )

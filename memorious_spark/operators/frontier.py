@@ -17,6 +17,8 @@ __all__ = [
     "FRONTIER_SCHEMA",
     "politeness_dequeue",
     "assign_emit_seq",
+    "range_by_order",
+    "seq_from_sizes",
     "dedup_within_round",
     "salt_partitions",
 ]
@@ -34,6 +36,7 @@ def politeness_dequeue(
     frontier: DataFrame,
     budget: int,
     robots: DataFrame | None = None,
+    n_salts: int = 32,
 ) -> tuple[DataFrame, DataFrame]:
     """Select ≤ budget rows per host this round; rest carries over.
 
@@ -44,9 +47,15 @@ def politeness_dequeue(
     paths and overrides the per-host budget (north-rule addition; the
     reference has no robots support).
 
-    One shuffle (hash by host). A 10^6-URL host lands on one task
-    here, but only ``budget`` rows survive; the heavy downstream work
-    is re-spread by :func:`salt_partitions`.
+    Skew-safe two-phase top-k: a single ``Window.partitionBy(host)``
+    would funnel a mega-host's entire frontier (10^8 rows on a
+    10^10-URL frontier) through ONE task's sort only to keep
+    ``budget`` of them. Phase 1 ranks within ``(host, salt)`` and
+    keeps ≤ budget per salt — any row ranked past the budget inside
+    its salt already has ≥ budget same-host rows ahead of it
+    globally, so dropping it to carryover is exact. Phase 2 runs the
+    precise per-host window over the ≤ salts·budget survivors. Same
+    output as the naive window, no single-task stage.
     """
     if robots is not None:
         frontier = frontier.join(F.broadcast(robots), "host", "left")
@@ -58,18 +67,28 @@ def politeness_dequeue(
             F.col("disallow_prefixes").isNull() | ~disallowed
         )
         host_budget = F.coalesce(F.col("crawl_delay_budget"), F.lit(budget))
+        robot_cols = ["disallow_prefixes", "crawl_delay_budget"]
     else:
         host_budget = F.lit(budget)
-    w = Window.partitionBy("host").orderBy(*_order_cols())
-    ranked = frontier.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_budget", host_budget
+        robot_cols = []
+
+    base = frontier.withColumn("_budget", host_budget).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("emit_seq")), F.lit(n_salts))
     )
+    w1 = Window.partitionBy("host", "_salt").orderBy(*_order_cols())
+    p1 = base.withColumn("_rn1", F.row_number().over(w1))
+    survivors = p1.filter(F.col("_rn1") <= F.col("_budget"))
+    spill1 = p1.filter(F.col("_rn1") > F.col("_budget"))
+
+    w2 = Window.partitionBy("host").orderBy(*_order_cols())
+    ranked = survivors.withColumn("_rn", F.row_number().over(w2))
     selected = ranked.filter(F.col("_rn") <= F.col("_budget"))
-    carryover = ranked.filter(F.col("_rn") > F.col("_budget"))
-    drop = ["_rn", "_budget"] + (
-        ["disallow_prefixes", "crawl_delay_budget"] if robots is not None else []
-    )
-    return selected.drop(*drop), carryover.drop(*drop)
+    spill2 = ranked.filter(F.col("_rn") > F.col("_budget"))
+
+    drop1 = ["_rn1", "_salt", "_budget"] + robot_cols
+    drop2 = ["_rn"] + drop1
+    carryover = spill1.drop(*drop1).unionByName(spill2.drop(*drop2))
+    return selected.drop(*drop2), carryover
 
 
 def dedup_within_round(candidates: DataFrame, order_cols: list[str]) -> DataFrame:
@@ -88,25 +107,32 @@ def dedup_within_round(candidates: DataFrame, order_cols: list[str]) -> DataFram
     )
 
 
-def assign_emit_seq(
-    df: DataFrame, order_cols: list[str], start: int, out_col: str = "emit_seq"
-) -> DataFrame:
-    """Dense global sequence numbers in ``order_cols`` order, from ``start``.
-
-    Distributed: range-repartition by the order keys, count rows per
-    partition (one tiny job), then rank within partitions with
-    broadcast offsets — no single-partition global window, so this
-    holds at frontier scale. The order is total (the caller dedups to
-    unique keys first), so the numbering is deterministic regardless
-    of partition boundaries.
-    """
+def range_by_order(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Range-repartition by the order keys + a ``_pid`` column — the
+    distributed half of dense sequence assignment. The caller persists
+    this, collects per-``_pid`` sizes in the SAME job that needs the
+    total row count, then applies :func:`seq_from_sizes` (a narrow op
+    over the cached partitions — no further jobs)."""
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
     keys = [F.col(c) for c in order_cols]
-    rp = df.repartitionByRange(n_parts, *keys).withColumn(
+    return df.repartitionByRange(n_parts, *keys).withColumn(
         "_pid", F.spark_partition_id()
     )
-    sizes = {r["_pid"]: r["cnt"] for r in rp.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+
+
+def seq_from_sizes(
+    rp: DataFrame,
+    order_cols: list[str],
+    sizes: dict[int, int],
+    start: int,
+    out_col: str = "emit_seq",
+) -> DataFrame:
+    """Dense global sequence from per-partition sizes: rank within
+    ``_pid`` + broadcast offsets. The order is total (callers dedup to
+    unique keys first), so the numbering is deterministic regardless
+    of partition boundaries."""
+    keys = [F.col(c) for c in order_cols]
     if not sizes:  # empty input
         return rp.withColumn(out_col, F.lit(None).cast("long")).drop("_pid")
     offsets, acc = {}, start
@@ -115,13 +141,27 @@ def assign_emit_seq(
         acc += sizes[pid]
     offset_map = F.create_map(
         *[F.lit(x) for pid in sorted(sizes) for x in (pid, offsets[pid])]
-    ) if sizes else F.create_map()
+    )
     w = Window.partitionBy("_pid").orderBy(*keys)
     return (
         rp.withColumn("_rn", F.row_number().over(w))
         .withColumn(out_col, (offset_map[F.col("_pid")] + F.col("_rn") - 1).cast("long"))
         .drop("_pid", "_rn")
     )
+
+
+def assign_emit_seq(
+    df: DataFrame, order_cols: list[str], start: int, out_col: str = "emit_seq"
+) -> DataFrame:
+    """Dense global sequence numbers in ``order_cols`` order, from
+    ``start`` — convenience wrapper (one size-collect job). The runner
+    uses the two-step form to fold that job into its row-count job."""
+    rp = range_by_order(df, order_cols)
+    sizes = {
+        r["_pid"]: r["cnt"]
+        for r in rp.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    return seq_from_sizes(rp, order_cols, sizes, start, out_col)
 
 
 def ensure_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:

@@ -118,7 +118,11 @@ def dedup_new(
         maybe = candidates.filter(maybe_seen(F.col(key)))
         confirmed_new = maybe.join(seen_keys, key, "left_anti")
         return definitely_new.unionByName(confirmed_new)
-    return candidates.join(seen_keys, key, "left_anti")
+    # SHUFFLE_HASH: candidates arrive already hash-partitioned by
+    # url_hash (the within-round dedup window), so only the seen side
+    # shuffles — parallel — where a broadcast would serialize the whole
+    # seen key set through the driver every round.
+    return candidates.join(seen_keys.hint("shuffle_hash"), key, "left_anti")
 
 
 def seen_entries(

@@ -3,10 +3,12 @@
 A pure-Python reimplementation of memorious's execution loop — FIFO
 queue drain (memorious/model/queue.py:17-27 append order +
 servicelayer worker FIFO), tag-at-emit link dedup
-(memorious/operations/parse.py:55-58), redirect-target tagging at
-fetch time (memorious/operations/fetch.py:31-33), rule gating at fetch
-(fetch.py:17-20) and store routing (parse.py:117-119) — run against
-the same in-memory page corpus the Spark engine crawls.
+(memorious/operations/parse.py:55-58), redirect SOURCE-url tagging at
+fetch time after the rule+ok gates (memorious/operations/fetch.py:
+17-33: rule gate → ``result.ok`` gate (< 400, http.py:299-303) →
+``set_tag(make_key(run_id, url))`` with the *requested* url), and
+store routing (parse.py:117-119) — run against the same in-memory
+page corpus the Spark engine crawls.
 
 It deliberately shares the SAME pure kernels as the engine's UDFs
 (:mod:`memorious_spark.functions.htmlkit`, ``rules.compile_py``,
@@ -63,16 +65,14 @@ def run_oracle(config: CrawlConfig, corpus: dict[str, dict]) -> OracleResult:
         if row is None:
             continue  # fetch miss (engine retries then drops — same end state)
         status = row.get("status_code")
-        if status is not None and status >= 500:
-            continue
         final_url = norm
         if status in (301, 302) and row.get("redirect_to"):
             target = py_norm(row["redirect_to"])
-            res.seen.add(target)  # fetch tags redirect targets
             row = corpus.get(target)
             if row is None:
-                continue
+                continue  # dangling redirect ≙ transport error
             final_url = target
+            status = row.get("status_code")
         res.fetched.append(norm)
 
         ct_raw = row.get("content_type")
@@ -80,8 +80,15 @@ def run_oracle(config: CrawlConfig, corpus: dict[str, dict]) -> OracleResult:
         body = row.get("html")
         text = htmlkit.extract_text(body, ct_raw)
         gate_row = {"url": final_url, "content_type": mime, "text": text}
+        # reference gate order: rules first (fetch.py:17-20), then ok
+        # (< 400, fetch.py:22-26); neither emits, neither retries
         if not fetch_rule(gate_row):
             continue
+        if status is None or status >= 400:
+            continue
+        # fetch tags the redirect SOURCE url, post-gates (fetch.py:30-33)
+        if final_url != norm:
+            res.seen.add(norm)
 
         res.text_by_url[final_url] = text
         root = (

@@ -41,6 +41,9 @@ class CrawlConfig:
     parse: ParseConfig = field(default_factory=ParseConfig)
     budget_per_host: int = 1_000_000_000  # "unlimited" unless configured
     retries: int = 3
+    # emit non-ok (status ≥ 400) responses downstream — the reference's
+    # fetch param of the same name (memorious/operations/fetch.py:25)
+    emit_errors: bool = False
     max_rounds: int = 25
     max_depth: int | None = None
     expire_days: int | None = None
@@ -83,6 +86,7 @@ def load_config(spec: dict) -> CrawlConfig:
     fetch_rules = store_rules = None
     parse_cfg = ParseConfig()
     retries = 3
+    emit_errors = False
     budget = 1_000_000_000
     for stage in stages.values():
         method = stage.get("method")
@@ -95,6 +99,7 @@ def load_config(spec: dict) -> CrawlConfig:
         elif method == "fetch":
             fetch_rules = params.get("rules")
             retries = int(params.get("retry", 3))
+            emit_errors = bool(params.get("emit_errors", False))
             if "rate_limit" in params:
                 budget = int(params["rate_limit"])
         elif method == "parse":
@@ -128,6 +133,7 @@ def load_config(spec: dict) -> CrawlConfig:
         store_rules=store_rules,
         parse=parse_cfg,
         retries=retries,
+        emit_errors=emit_errors,
         budget_per_host=budget,
         max_rounds=int(spec.get("max_rounds", 25)),
         max_depth=spec.get("max_depth"),

@@ -2,21 +2,39 @@
 
 One round = one generation of memorious's FIFO drain (SURVEY.md §3.1):
 
-    frontier → rule gate → politeness dequeue → fetch (corpus join)
-             → parse (Arrow UDF) → store sink
+    frontier → politeness dequeue → fetch (corpus join, ONE scan)
+             → parse (Arrow UDF) → rule + ok gate → store sink
              → link explode → within-round dedup → seen anti-join
              → emit_seq assignment → next frontier
 
 Round-discretization contract (documented deviations are part of the
 engine's spec, SURVEY.md §4.3):
-- all round-r fetch-time seen tags (redirect targets,
-  memorious/operations/fetch.py:31-33) apply before round-r parse
-  emissions;
+- all round-r fetch-time seen tags (redirect SOURCE urls, tagged after
+  the rule+ok gates exactly as memorious/operations/fetch.py:30-33)
+  apply before round-r parse emissions from later emit_seqs;
 - "k req per rate interval per host" (memorious/logic/http.py:209-214)
   becomes "k rows per host per round";
+- non-ok responses (status ≥ 400 — requests' ``Response.ok``) are
+  fetched but not emitted downstream unless ``emit_errors``
+  (fetch.py:22-26); only corpus MISSES retry (the reference recurses
+  on transport errors only, fetch.py:35-42);
 - crawl order equals the reference's single-threaded FIFO order via
   the dense ``emit_seq`` (parents' emit order × link index), without
   any global sort in the hot path.
+
+Driver-job economy (the N→4N scaling-efficiency lever): a frontier
+round launches exactly FOUR Spark job waves —
+  1. politeness-selection partition histogram (materializes the
+     selected cache; doubles as per-partition lineage),
+  2. results write (fetch join + parse UDF; row counts ride along as
+     ``df.observe`` metrics instead of separate count() jobs),
+  3. new-link dedup chain materialization + per-partition sizes (one
+     collect that yields BOTH the new-link count and the emit_seq
+     offsets),
+  4. frontier + seen writes, submitted in parallel threads (both read
+     only cached data; the next round's frontier size rides along as
+     an observation, so empty rounds cost zero jobs).
+Everything else (metrics, manifest) is driver-local pyarrow/JSON.
 
 State (frontier / seen / results / metrics) is checkpointed per round
 through :class:`RunStore`; a killed run resumes from the last complete
@@ -28,14 +46,16 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from memorious_spark.functions.urls import hash_col, host_col, norm_col, scheme_ok_col
-from memorious_spark.operators.fetch import fetch_stage
+from memorious_spark.operators.fetch import fetch_stage, retry_rows
 from memorious_spark.operators.frontier import (
-    assign_emit_seq, dedup_within_round, politeness_dequeue, salt_partitions,
+    FRONTIER_SCHEMA, dedup_within_round, politeness_dequeue, range_by_order,
+    salt_partitions, seq_from_sizes,
 )
 from memorious_spark.operators.parse import extract_links_df, parse_stage
 from memorious_spark.operators.seen import dedup_new, seen_entries
@@ -50,6 +70,12 @@ _RESULT_COLS = [
     "meta", "properties", "src_url",
 ]
 
+SEEN_SCHEMA = (
+    "key_hash long, crawler string, run_id string, kind string, "
+    "value string, created_at timestamp, expires_at timestamp"
+)
+
+_ORDER = ["src_emit_seq", "link_idx"]
 
 _TIMING = os.environ.get("MEMSPARK_TIMING") == "1"
 
@@ -118,6 +144,35 @@ class CrawlRunner:
             F.lit(0).alias("attempt"),
         )
 
+    # ---- gate + parse ------------------------------------------------
+    def _gate_and_parse(self, fetched: DataFrame, fetch_rule) -> DataFrame:
+        """Apply the reference's emit gate (rules → ok) and parse.
+
+        Emission ⇔ rule ∧ ok (fetch.py:17-26). Instead of filtering
+        gated rows out (which would force a SECOND corpus scan to
+        learn which urls joined at all, for retry bookkeeping), every
+        hit row flows through with an ``_emit`` flag and its ``html``
+        masked to NULL when gated — the lazy-fetch economy
+        (fetch.py:16): gated bodies never cross the Arrow boundary
+        and never get parsed, but the row's fetch outcome survives in
+        the round's one persisted DataFrame.
+        """
+        cfg = self.config
+        ok_gate = F.lit(True) if cfg.emit_errors else F.col("ok")
+        if self._fetch_rule_needs_text:
+            # xpath-style rules need the decoded text → parse first
+            # (bodies of non-ok rows still never transfer)
+            pre = fetched.withColumn("html", F.when(ok_gate, F.col("html")))
+            parsed = parse_stage(pre, cfg.parse).withColumn(
+                "_emit", ok_gate & fetch_rule
+            )
+        else:
+            pre = fetched.withColumn("_emit", ok_gate & fetch_rule).withColumn(
+                "html", F.when(F.col("_emit"), F.col("html"))
+            )
+            parsed = parse_stage(pre, cfg.parse)
+        return parsed.withColumn("retrieved_at", F.col("warc_ts"))
+
     # ---- main loop ---------------------------------------------------
     def run(
         self,
@@ -135,37 +190,49 @@ class CrawlRunner:
 
         if resume and (m := store.read_manifest()) is not None:
             start_round = m["last_complete_round"] + 1
-            next_seq = m["rounds"][-1]["next_seq"]
-            seen_count = m["rounds"][-1]["urls_seen"]
+            last = next(
+                r for r in m["rounds"] if r["round"] == m["last_complete_round"]
+            )
+            next_seq = last["next_seq"]
+            seen_count = last["urls_seen"]
+            frontier_rows = last.get("next_frontier", -1)  # -1 = unknown
             totals = {
                 "fetched": sum(r["fetched"] for r in m["rounds"]),
                 "stored": sum(r["stored"] for r in m["rounds"]),
             }
-            store.truncate_after(start_round)  # drop partial writes
+            store.truncate_after(m["last_complete_round"])  # drop partials
         else:
             if initial_frontier is not None:
                 frontier0 = self._frontier_shape(initial_frontier, depth=F.lit(0))
-                n_seeds = frontier0.count()
+                obs0 = Observation()
+                store.write_round(
+                    "frontier", 0,
+                    frontier0.observe(obs0, F.count(F.lit(1)).alias("rows")),
+                )
+                n_seeds = int(obs0.get["rows"])
             else:
                 frontier0 = self._seed_frontier()
                 n_seeds = len(cfg.seeds)
+                store.write_round("frontier", 0, frontier0)
             start_round, next_seq, seen_count = 0, n_seeds, 0
+            frontier_rows = n_seeds
             totals = {"fetched": 0, "stored": 0}
-            store.write_round("frontier", 0, frontier0)
 
         rnd = start_round
         status = "done"
+        pool = ThreadPoolExecutor(max_workers=2)
         while rnd < cfg.max_rounds:
             if store.abort_requested():
                 status = "aborted"
                 break
-            ph = _Phase(rnd)
-            frontier = store.read_round(spark, "frontier", rnd)
-            if frontier is None or not frontier.head(1):
+            if frontier_rows == 0:
                 break
-            ph.mark("read frontier")
+            ph = _Phase(rnd)
+            frontier = store.read_round(spark, "frontier", rnd, FRONTIER_SCHEMA)
+            if frontier is None or (frontier_rows < 0 and not frontier.head(1)):
+                break
 
-            seen = store.read_all(spark, "seen", rnd - 1)
+            seen = store.read_all(spark, "seen", rnd - 1, SEEN_SCHEMA)
 
             # politeness budget + hot-host salting. No configured rate
             # limit and no robots → no parking semantics to enforce →
@@ -179,53 +246,61 @@ class CrawlRunner:
                     frontier, cfg.budget_per_host, self.robots
                 )
             selected = salt_partitions(selected).persist()
-            n_selected = selected.count()
+            # job 1: per-partition histogram — materializes the cache,
+            # yields n_selected AND the lineage rows in one action
+            hist = (
+                selected.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count("*").alias("rows"))
+                .collect()
+            )
+            n_selected = sum(int(r["rows"]) for r in hist)
             ph.mark(f"politeness+salt ({n_selected})")
 
-            # fetch = corpus join (broadcast frontier side when small)
-            fetched, retry, fetch_persisted = fetch_stage(
-                selected, corpus, cfg.retries, selected_count=n_selected
-            )
-            # rules that don't touch the body gate BEFORE parse (the
-            # lazy-fetch economy of memorious/operations/fetch.py:16);
-            # xpath rules need the decoded text → gate after parse
-            if self._fetch_rule_needs_text:
-                parsed = parse_stage(fetched, cfg.parse).filter(fetch_rule)
-            else:
-                parsed = parse_stage(fetched.filter(fetch_rule), cfg.parse)
-            parsed = parsed.withColumn("retrieved_at", F.col("warc_ts"))
+            # fetch = corpus join (broadcast frontier side when small),
+            # then gate+parse; ONE persisted DataFrame carries every
+            # fetch outcome of the round.
+            fetched = fetch_stage(selected, corpus, selected_count=n_selected)
+            parsed = self._gate_and_parse(fetched, fetch_rule)
             # serialized persist: deserialized caching of row objects with
             # long text columns causes GC/storage contention at high core
             # counts (local[32] measured SLOWER than local[8] without this)
             from pyspark.storagelevel import StorageLevel as _SL
             parsed = parsed.persist(_SL.MEMORY_AND_DISK)
-            n_fetched = parsed.count()
-            ph.mark(f"fetch+parse ({n_fetched})")
 
-            stored = parsed.filter(store_rule).select(*_RESULT_COLS)
+            obs_parse = Observation()
+            obs_store = Observation()
+            observed = parsed.observe(
+                obs_parse,
+                F.count(F.lit(1)).alias("hits"),
+                F.count(F.when(F.col("_emit"), 1)).alias("emitted"),
+            )
+            stored = (
+                observed.filter(F.col("_emit") & store_rule)
+                .select(*_RESULT_COLS)
+                .observe(obs_store, F.count(F.lit(1)).alias("rows"))
+            )
+            # job 2: results write (counts ride along as observations)
             store.write_round("results", rnd, stored)
-            n_stored = stored.count()  # cheap: parsed is persisted
-            ph.mark(f"results write ({n_stored})")
+            n_hits = int(obs_parse.get["hits"])
+            n_emitted = int(obs_parse.get["emitted"])
+            n_stored = int(obs_store.get["rows"])
+            ph.mark(f"fetch+parse+store ({n_hits}/{n_emitted}/{n_stored})")
 
-            # fetch-time seen tags: redirect targets (fetch.py:31-33).
+            # fetch-time seen tags: the redirect SOURCE url, tagged only
+            # for rows that passed the rule+ok gates (fetch.py:30-33).
             # tagger_seq preserves the sequential-interleaving contract:
-            # in the single-threaded reference, a redirect tag placed by
-            # the task with emit_seq s blocks link emissions only from
-            # tasks processed AFTER s — not from earlier ones whose
-            # emits already happened.
+            # in the single-threaded reference, the tag placed by the
+            # task with emit_seq s blocks link emissions only from tasks
+            # processed AFTER s — not from earlier ones whose emits
+            # already happened.
             redirect_tags = (
-                parsed.filter(F.col("redirected_from").isNotNull())
-                .select(
-                    norm_col(F.col("final_url")).alias("url_norm"),
-                    F.col("emit_seq").alias("tagger_seq"),
-                )
-                .withColumn("url_hash", hash_col(F.col("url_norm")))
+                parsed.filter(F.col("_emit") & F.col("redirected_from").isNotNull())
                 .groupBy("url_hash", "url_norm")
-                .agg(F.min("tagger_seq").alias("tagger_seq"))
+                .agg(F.min("emit_seq").alias("tagger_seq"))
             )
 
             # link candidates → within-round dedup → seen anti-join
-            cands = extract_links_df(parsed).filter(
+            cands = extract_links_df(parsed.filter(F.col("_emit"))).filter(
                 scheme_ok_col(F.col("url"))
             )
             if cfg.max_depth is not None:
@@ -233,7 +308,7 @@ class CrawlRunner:
             cands = cands.withColumn("url_norm", norm_col(F.col("url"))).withColumn(
                 "url_hash", hash_col(F.col("url_norm"))
             )
-            cands = dedup_within_round(cands, ["src_emit_seq", "link_idx"])
+            cands = dedup_within_round(cands, _ORDER)
             # same-round redirect tags block only later emitters
             cands = (
                 cands.join(
@@ -252,20 +327,21 @@ class CrawlRunner:
                 if seen is not None
                 else None
             )
-            # materialize the dedup chain ONCE before sequence
-            # assignment — assign_emit_seq's internal size-collect would
-            # otherwise re-execute the whole explode/window/anti-join
+            # new0 persisted: repartitionByRange's range-sampling pass
+            # would otherwise execute the whole explode/window/anti-join
+            # chain TWICE (once to sample bounds, once for real)
             new0 = dedup_new(cands, seen_keys, seen_count=seen_count + 1).persist()
-            n_new = new0.count()
-            if n_new:
-                new_links = assign_emit_seq(
-                    new0, ["src_emit_seq", "link_idx"], start=next_seq
-                ).persist()
-                new_links.count()
-            else:
-                new_links = new0.withColumn(
-                    "emit_seq", F.lit(None).cast("long")
-                )
+            # job 3: materialize the dedup chain range-partitioned by the
+            # emit order; ONE collect yields the per-partition sizes (→
+            # emit_seq offsets) and their sum (→ n_new)
+            rp = range_by_order(new0, _ORDER).persist()
+            sizes = {
+                int(r["_pid"]): int(r["cnt"])
+                for r in rp.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+            }
+            new0.unpersist()
+            n_new = sum(sizes.values())
+            new_links = seq_from_sizes(rp, _ORDER, sizes, start=next_seq)
             ph.mark(f"dedup+emit_seq ({n_new})")
             next_seq += n_new
 
@@ -279,13 +355,24 @@ class CrawlRunner:
                 "emit_seq",
                 F.lit(0).alias("attempt"),
             )
-            next_frontier = retry.unionByName(new_frontier_rows)
+            # retry = corpus misses, from the round's persisted hit keys
+            # (no second corpus scan); the observed counts prove the
+            # all-hit case, where the anti-join is skipped outright
+            if n_hits >= n_selected:
+                next_frontier = new_frontier_rows
+            else:
+                retry = retry_rows(
+                    selected, parsed.select("url_norm").distinct(), cfg.retries
+                )
+                next_frontier = retry.unionByName(new_frontier_rows)
             if carryover is not None:
                 next_frontier = carryover.unionByName(next_frontier)
-            store.write_round("frontier", rnd + 1, next_frontier)
-            ph.mark("frontier write")
+            obs_frontier = Observation()
+            next_frontier = next_frontier.observe(
+                obs_frontier, F.count(F.lit(1)).alias("rows")
+            )
 
-            # seen append: emitted links + redirect targets
+            # seen append: emitted links + redirect-source tags
             seen_rows = seen_entries(
                 new_links, cfg.name, store.dir.name, "link",
                 value="url_norm", expire_days=cfg.expire_days,
@@ -295,57 +382,56 @@ class CrawlRunner:
                     "redirect", value="url_norm", expire_days=cfg.expire_days,
                 )
             )
-            store.write_round("seen", rnd, seen_rows)
-            ph.mark("seen write")
+            # job 4: frontier + seen writes in parallel threads — both
+            # read only cached data, so the two jobs overlap fully
+            fut_f = pool.submit(store.write_round, "frontier", rnd + 1, next_frontier)
+            fut_s = pool.submit(store.write_round, "seen", rnd, seen_rows)
+            fut_f.result()
+            fut_s.result()
+            frontier_rows = int(obs_frontier.get["rows"])
+            ph.mark(f"frontier+seen write (next={frontier_rows})")
             seen_count = seen_count + n_new  # redirect tags are few; bloom sizing only
 
-            # metrics: round summary + per-partition lineage
-            # per-partition lineage: collect the (tiny) partition
-            # histogram, write ONE local 1-partition parquet — a
-            # distributed union-write of 36 rows costs several whole
-            # Spark jobs of scheduling latency per round
-            lineage_rows = (
-                selected.groupBy(F.spark_partition_id().alias("pid"))
-                .agg(F.count("*").alias("rows"))
-                .collect()
-            )
+            # metrics: round summary + per-partition lineage — collected
+            # in job 1; a driver-local 1-partition parquet (a distributed
+            # union-write of 36 rows costs whole Spark jobs of
+            # scheduling latency per round)
             metrics_rows = [
                 dict(round=rnd, stage="fetch_input",
                      partition_id=int(r["pid"]), rows=int(r["rows"]))
-                for r in lineage_rows
+                for r in hist
             ] + [
                 dict(round=rnd, stage=stage, partition_id=-1, rows=n)
                 for stage, n in [
-                    ("round_summary", n_selected), ("fetched", n_fetched),
-                    ("stored", n_stored), ("new_links", n_new),
+                    ("round_summary", n_selected), ("fetched", n_hits),
+                    ("emitted", n_emitted), ("stored", n_stored),
+                    ("new_links", n_new),
                 ]
             ]
             store.write_round_local("metrics", rnd, metrics_rows)
-            ph.mark("metrics write")
 
-            totals["fetched"] += n_fetched
+            totals["fetched"] += n_hits
             totals["stored"] += n_stored
             store.commit_round(
                 rnd,
                 {
                     "selected": n_selected,
-                    "fetched": n_fetched,
+                    "fetched": n_hits,
+                    "emitted": n_emitted,
                     "stored": n_stored,
                     "new_links": n_new,
                     "next_seq": next_seq,
                     "urls_seen": seen_count,
+                    "next_frontier": frontier_rows,
                 },
             )
-            ph.mark("commit")
             selected.unpersist()
             parsed.unpersist()
-            new0.unpersist()
-            new_links.unpersist()
-            for df in fetch_persisted:
-                df.unpersist()
-            ph.mark("unpersist")
+            rp.unpersist()
+            ph.mark("metrics+commit")
             rnd += 1
 
+        pool.shutdown(wait=False)
         store.finish(status)
         return RunResult(
             run_id=store.dir.name,

@@ -69,14 +69,23 @@ class RunStore:
             pa.Table.from_pylist(rows), path / "part-00000.parquet"
         )
 
-    def read_round(self, spark: SparkSession, table: str, rnd: int) -> DataFrame | None:
+    def read_round(
+        self, spark: SparkSession, table: str, rnd: int, schema: str | None = None
+    ) -> DataFrame | None:
+        """``schema`` (DDL string) skips parquet schema inference — one
+        less driver job per read on the hot loop's fixed-schema tables."""
         p = self.round_path(table, rnd)
         if not os.path.isdir(p):
             return None
-        return spark.read.parquet(p)
+        reader = spark.read.schema(schema) if schema else spark.read
+        return reader.parquet(p)
 
     def read_all(
-        self, spark: SparkSession, table: str, upto_round: int
+        self,
+        spark: SparkSession,
+        table: str,
+        upto_round: int,
+        schema: str | None = None,
     ) -> DataFrame | None:
         paths = [
             self.round_path(table, r)
@@ -85,7 +94,8 @@ class RunStore:
         ]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        reader = spark.read.schema(schema) if schema else spark.read
+        return reader.parquet(*paths)
 
     def commit_round(self, rnd: int, stats: dict) -> None:
         """Advance the manifest: round ``rnd`` is durable and complete."""
@@ -108,8 +118,23 @@ class RunStore:
         return (self.dir / "ABORT").exists()
 
     def truncate_after(self, rnd: int) -> None:
-        """Drop any partially-written rounds > rnd (crash cleanup)."""
+        """Drop anything written after complete round ``rnd`` (crash
+        cleanup) and prune its manifest entries — a resume must never
+        pick up counters from rounds that no longer exist on disk.
+
+        Round r writes its NEXT frontier under ``frontier/round=r+1``,
+        so the frontier table's cutoff is ``rnd + 1`` — deleting it
+        would leave the resumed run nothing to read."""
+        manifest = self.read_manifest()
+        if manifest is not None and "rounds" in manifest:
+            manifest["rounds"] = [
+                r for r in manifest["rounds"] if r["round"] <= rnd
+            ]
+            if manifest.get("last_complete_round", -1) > rnd:
+                manifest["last_complete_round"] = rnd
+            self._commit_manifest(manifest)
         for table in _TABLES:
+            cutoff = rnd + 1 if table == "frontier" else rnd
             tdir = self.dir / table
             if not tdir.is_dir():
                 continue
@@ -119,5 +144,5 @@ class RunStore:
                         k = int(child.name.split("=", 1)[1])
                     except ValueError:
                         continue
-                    if k > rnd:
+                    if k > cutoff:
                         shutil.rmtree(child)

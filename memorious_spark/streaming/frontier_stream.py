@@ -69,13 +69,21 @@ def run_streaming_crawl(
             seen = spark.read.parquet(seen_path)
         except Exception:
             seen = None
-        fresh = dedup_new(frontier, seen)
-        fetched, _retry, _p = fetch_stage(fresh, corpus)
+        fresh = dedup_new(frontier, seen).persist()
+        # Idempotent replay order: results land in a batch-id-keyed dir
+        # with OVERWRITE (a retried batch replaces its own output —
+        # never duplicates, never loses rows), and only then do the
+        # hashes append to seen (duplicate hashes from a replayed
+        # append are harmless: the seen probe is set-membership).
+        # The reverse order would lose data: seen-first makes a retry's
+        # anti-join drop the batch before its results ever landed.
+        fetched = fetch_stage(fresh, corpus)
         parsed = parse_stage(fetched, parse_config)
-        parsed.drop("link_titles").write.mode("append").parquet(
+        parsed.drop("link_titles").write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}"
         )
         fresh.select("url_hash").write.mode("append").parquet(seen_path)
+        fresh.unpersist()
 
     return (
         seeds_stream.writeStream.foreachBatch(process_batch)

@@ -154,6 +154,39 @@ def test_text_byte_identity(spark, engine_run, oracle_run):
         assert hashlib.sha256(o.encode("utf-8")).hexdigest() == h, url
 
 
+def test_kill_resume_matches_uninterrupted(
+    spark, corpus, tmp_path_factory, engine_run
+):
+    """Kill after round 2, resume → final seen set + stored rows equal
+    the uninterrupted run (BASELINE north rule: resumable from
+    checkpoint). Regression guard for the frontier/round=r+1 cutoff in
+    RunStore.truncate_after (round r writes its NEXT frontier)."""
+    import dataclasses
+
+    store = RunStore(tmp_path_factory.mktemp("runs_resume"), "e2e", "runR")
+    killed = CrawlRunner(
+        spark, dataclasses.replace(CFG, max_rounds=3), store
+    ).run(corpus)
+    assert killed.rounds == 3
+    resumed = CrawlRunner(spark, CFG, store).run(corpus, resume=True)
+    assert resumed.status == "done" and resumed.rounds > 0
+
+    ref_store, _ = engine_run
+    seen = {
+        r["key_hash"]
+        for r in store.read_all(spark, "seen", 60).select("key_hash").collect()
+    }
+    ref_seen = {
+        r["key_hash"]
+        for r in ref_store.read_all(spark, "seen", 60).select("key_hash").collect()
+    }
+    assert seen == ref_seen
+    assert (
+        store.read_all(spark, "results", 60).count()
+        == ref_store.read_all(spark, "results", 60).count()
+    )
+
+
 def test_content_hash_is_sha1_of_body(spark, engine_run, corpus_dict):
     store, _ = engine_run
     stored = store.read_all(spark, "results", 60)

@@ -35,7 +35,7 @@ def test_fetch_join_broadcasts_frontier(spark, tmp_path):
         F.lit(None).cast("int").alias("link_idx"),
         F.lit(0).cast("long").alias("emit_seq"), F.lit(0).alias("attempt"),
     )
-    fetched, _retry, _p = fetch_stage(frontier, corpus, selected_count=10)
+    fetched = fetch_stage(frontier, corpus, selected_count=10)
     plan = _plan(fetched)
     assert "BroadcastHashJoin" in plan, plan[:2000]
     # the corpus side must never shuffle for the fetch join
