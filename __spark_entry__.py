@@ -312,6 +312,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return merge_upsert(existing, batch, ["user_id"], now="2024-02-01 00:00:00")
 
+    # -- http cache / incremental re-run ---------------------------------
+    def http_cache_replay(spark, sf_dir):
+        """Run-2 conditional fetch over a corpus where doc_id%5==0
+        pages changed (new warc_ts): probes a run-1 http_cache, joins
+        the corpus through the REAL fetch stage, and replays 304s —
+        cached hash + original retrieved_at for unchanged pages."""
+        from memorious_spark.operators.cache import apply_replay, cache_probe
+        from memorious_spark.operators.fetch import fetch_stage
+        from memorious_spark.sources.corpus import build_corpus
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        doc_id = F.split(F.col("url"), "/doc/").getItem(1).cast("long")
+        corpus2 = build_corpus(spark, docs, n).withColumn(
+            "warc_ts",
+            F.when(
+                doc_id % 5 == 0, F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+            ).otherwise(F.col("warc_ts")),
+        )
+        url = F.concat(
+            F.lit("https://h"), F.col("doc_id") % 7,
+            F.lit(".example.com/doc/"), F.col("doc_id"),
+        )
+        warc0 = F.expr(
+            "timestampadd(SECOND, doc_id, TIMESTAMP '2024-01-01 00:00:00')"
+        )
+        # run-1 cache = every ok (non-404, non-redirect) page, as the
+        # reference caches only ok bodies (http.py:199-201)
+        cache = docs.filter(
+            (F.col("doc_id") % 23 != 0) & (F.col("doc_id") % 19 != 0)
+        ).select(
+            F.xxhash64(url).alias("url_hash"),
+            url.alias("url_norm"),
+            warc0.alias("warc_ts"),
+            F.concat(F.lit("h-"), F.col("doc_id")).alias("content_hash"),
+            F.to_timestamp(F.lit("2024-01-05 00:00:00")).alias("retrieved_at"),
+            F.lit("r1").alias("run_id"),
+            F.to_timestamp(F.lit("2024-01-05 00:00:00")).alias("created_at"),
+            F.lit(None).cast("timestamp").alias("expires_at"),
+        )
+        frontier = corpus2.select(
+            "url",
+            F.col("url").alias("url_norm"),
+            F.xxhash64("url").alias("url_hash"),
+            F.lit("h").alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(0.0).alias("priority"),
+            F.lit(None).cast("string").alias("src_url"),
+            F.lit(None).cast("int").alias("link_idx"),
+            F.xxhash64("url").alias("emit_seq"),
+            F.lit(0).alias("attempt"),
+        )
+        probed = cache_probe(frontier, cache, now_ts="2024-01-06 00:00:00")
+        rep = apply_replay(fetch_stage(probed, corpus2))
+        return rep.select(
+            "url",
+            "replayed",
+            F.when(F.col("replayed"), F.col("content_hash")).alias("hash_src"),
+            F.unix_timestamp(
+                F.coalesce(F.col("retrieved_at_cached"), F.col("warc_ts"))
+            ).alias("retrieved_s"),
+        )
+
+    def incremental_second_run(spark, sf_dir):
+        """skip_incremental at the store stage (context.py:127-148):
+        run-2 stores only rows whose (url, content_hash) inc tag is
+        absent, changed, or expired."""
+        from memorious_spark.operators.cache import skip_unchanged
+
+        docs = _docs(spark, sf_dir)
+        url = F.concat(
+            F.lit("https://h"), F.col("doc_id") % 7,
+            F.lit(".example.com/doc/"), F.col("doc_id"),
+        )
+        version = F.when(F.col("doc_id") % 7 == 3, "v2").otherwise("v1")
+        stored = docs.select(
+            "doc_id",
+            url.alias("url"),
+            F.xxhash64(url).alias("url_hash"),
+            F.concat(F.lit("c-"), F.col("doc_id"), F.lit("-"), version).alias(
+                "content_hash"
+            ),
+        )
+        inc_tags = docs.filter(F.col("doc_id") % 11 != 5).select(
+            F.xxhash64(url).alias("url_hash"),
+            F.concat(F.lit("c-"), F.col("doc_id"), F.lit("-v1")).alias(
+                "content_hash"
+            ),
+            F.lit("r1").alias("run_id"),
+            F.to_timestamp(F.lit("2024-01-05 00:00:00")).alias("created_at"),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.to_timestamp(F.lit("2024-02-01 00:00:00")),
+            ).alias("expires_at"),
+        )
+        out = skip_unchanged(stored, inc_tags, now_ts="2024-06-01 00:00:00")
+        return out.select("doc_id", "url", "content_hash")
+
     # -- initializers ----------------------------------------------------
     def seed_gen(spark, sf_dir):
         return seed(
@@ -524,6 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_budget": politeness_budget,
         "dedup_anti_join": dedup_anti_join,
         "incremental_skip": incremental_skip,
+        "http_cache_replay": http_cache_replay,
+        "incremental_second_run": incremental_second_run,
         "merge_first_last_seen": merge_first_last_seen,
         "seed_gen": seed_gen,
         "enumerate_gen": enumerate_gen,
@@ -648,6 +748,42 @@ def oracle_sql() -> dict[str, str]:
                 WHERE s.event_type = 'signup' AND s.user_id = e.user_id
                   AND s.ts + INTERVAL 2 DAY > TIMESTAMP '2024-01-15 00:00:00'
               )
+        """,
+        "http_cache_replay": """
+            WITH n_ AS (SELECT count(*) AS n FROM documents),
+            d AS (
+              SELECT doc_id,
+                     'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id AS url,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + doc_id * INTERVAL 1 SECOND
+                       + (CASE WHEN doc_id % 5 = 0 THEN INTERVAL 1 DAY
+                               ELSE INTERVAL 0 DAY END) AS warc2
+              FROM documents
+            )
+            SELECT s.url AS url,
+                   (s.doc_id % 23 <> 0 AND s.doc_id % 19 <> 0
+                    AND s.doc_id % 5 <> 0) AS replayed,
+                   CASE WHEN s.doc_id % 23 <> 0 AND s.doc_id % 19 <> 0
+                             AND s.doc_id % 5 <> 0
+                        THEN 'h-' || s.doc_id END AS hash_src,
+                   CAST(epoch(
+                     CASE WHEN s.doc_id % 23 <> 0 AND s.doc_id % 19 <> 0
+                               AND s.doc_id % 5 <> 0
+                          THEN TIMESTAMP '2024-01-05 00:00:00'
+                          WHEN s.doc_id % 23 <> 0 AND s.doc_id % 19 = 0
+                          THEN t.warc2
+                          ELSE s.warc2 END) AS BIGINT) AS retrieved_s
+            FROM d s
+            CROSS JOIN n_
+            LEFT JOIN d t ON t.doc_id = (s.doc_id + 1) % n_.n
+        """,
+        "incremental_second_run": """
+            SELECT doc_id,
+                   'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id AS url,
+                   'c-' || doc_id || '-' ||
+                     (CASE WHEN doc_id % 7 = 3 THEN 'v2' ELSE 'v1' END) AS content_hash
+            FROM documents
+            WHERE doc_id % 7 = 3 OR doc_id % 11 = 5 OR doc_id % 13 = 0
         """,
         "merge_first_last_seen": """
             WITH pre AS (

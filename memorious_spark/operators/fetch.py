@@ -75,12 +75,14 @@ def _prefixed(corpus: DataFrame) -> DataFrame:
     return corpus.select(*[F.col(c).alias(a) for c, a in _CORPUS_COLS.items()])
 
 
-def _finalize(joined: DataFrame, redirected_from: bool) -> DataFrame:
+def _finalize(
+    joined: DataFrame, redirected_from: bool, frontier_cols: list[str]
+) -> DataFrame:
     from_col = (
         F.col("_redir_src") if redirected_from else F.lit(None).cast("string")
     )
     return joined.select(
-        *FRONTIER_COLS,
+        *frontier_cols,
         F.col("f_url").alias("final_url"),
         from_col.alias("redirected_from"),
         F.col("f_status").alias("status_code"),
@@ -118,6 +120,10 @@ def fetch_stage(
             selected_count is not None and selected_count <= _BROADCAST_MAX_ROWS
         )
     maybe_bc = F.broadcast if broadcast_frontier else (lambda df: df)
+    # every non-corpus column of the frontier side passes through —
+    # extra columns (e.g. the http-cache probe's cached_* fields) ride
+    # the join untouched
+    frontier_cols = [c for c in selected.columns]
 
     pc = _prefixed(corpus)
     hits = pc.join(
@@ -129,7 +135,7 @@ def fetch_stage(
     direct = hits.filter(
         ~F.col("f_status").isin(301, 302) | F.col("f_redirect_to").isNull()
     )
-    fetched_direct = _finalize(direct, redirected_from=False)
+    fetched_direct = _finalize(direct, redirected_from=False, frontier_cols=frontier_cols)
 
     # Single-hop redirect resolution: one more broadcast-inner scan,
     # only for the (typically tiny) redirect subset. The target key is
@@ -137,7 +143,7 @@ def fetch_stage(
     redirects = hits.filter(
         F.col("f_status").isin(301, 302) & F.col("f_redirect_to").isNotNull()
     ).select(
-        *FRONTIER_COLS,
+        *frontier_cols,
         F.col("url").alias("_redir_src"),
         norm_col(F.col("f_redirect_to")).alias("_target"),
     )
@@ -145,7 +151,9 @@ def fetch_stage(
     rjoined = pc2.join(
         F.broadcast(redirects), pc2["f_url"] == F.col("_target"), "inner"
     )  # dangling redirects drop out of the inner join
-    return fetched_direct.unionByName(_finalize(rjoined, redirected_from=True))
+    return fetched_direct.unionByName(
+        _finalize(rjoined, redirected_from=True, frontier_cols=frontier_cols)
+    )
 
 
 def retry_rows(

@@ -47,6 +47,11 @@ class CrawlConfig:
     max_rounds: int = 25
     max_depth: int | None = None
     expire_days: int | None = None
+    # incremental re-run mode: probe the crawler-scoped http_cache
+    # (304 replay of unchanged pages) and skip re-storing content that
+    # already carries an inc tag — memorious's INCREMENTAL setting
+    # (memorious/settings.py:26, logic/context.py:127-148)
+    incremental: bool = False
 
     def fetch_rule_col(self):
         return compile_rule(self.fetch_rules)
@@ -138,4 +143,5 @@ def load_config(spec: dict) -> CrawlConfig:
         max_rounds=int(spec.get("max_rounds", 25)),
         max_depth=spec.get("max_depth"),
         expire_days=spec.get("expire"),
+        incremental=bool(spec.get("incremental", False)),
     )

@@ -52,6 +52,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from memorious_spark.functions.urls import hash_col, host_col, norm_col, scheme_ok_col
+from memorious_spark.operators.cache import (
+    HTTP_CACHE_SCHEMA, INC_TAGS_SCHEMA, apply_replay, cache_entries,
+    cache_probe, inc_tag_entries, skip_unchanged,
+)
 from memorious_spark.operators.fetch import fetch_stage, retry_rows
 from memorious_spark.operators.frontier import (
     FRONTIER_SCHEMA, dedup_within_round, politeness_dequeue, range_by_order,
@@ -78,6 +82,19 @@ SEEN_SCHEMA = (
 _ORDER = ["src_emit_seq", "link_idx"]
 
 _TIMING = os.environ.get("MEMSPARK_TIMING") == "1"
+
+
+def _obs_counts(obs: Observation, *names: str) -> dict:
+    """``Observation.get`` with an empty-plan fallback: when AQE's
+    runtime empty-relation propagation replaces a subtree that turned
+    out empty (e.g. a round whose corpus join matched nothing), the
+    CollectMetrics node is dropped from the re-planned query and the
+    observation row comes back schemaless — in exactly that case every
+    counter here is provably zero."""
+    try:
+        return obs.get
+    except Exception:
+        return {n: 0 for n in names}
 
 
 class _Phase:
@@ -171,7 +188,12 @@ class CrawlRunner:
                 "html", F.when(F.col("_emit"), F.col("html"))
             )
             parsed = parse_stage(pre, cfg.parse)
-        return parsed.withColumn("retrieved_at", F.col("warc_ts"))
+        retrieved = (
+            F.coalesce(F.col("retrieved_at_cached"), F.col("warc_ts"))
+            if "retrieved_at_cached" in parsed.columns
+            else F.col("warc_ts")
+        )
+        return parsed.withColumn("retrieved_at", retrieved)
 
     # ---- main loop ---------------------------------------------------
     def run(
@@ -179,14 +201,24 @@ class CrawlRunner:
         corpus: DataFrame,
         resume: bool = False,
         initial_frontier: DataFrame | None = None,
+        now_ts: str = "2024-01-01 00:00:00",
     ) -> RunResult:
         """``initial_frontier`` (url string, emit_seq long) seeds round 0
         from a DataFrame instead of the config's literal seed list —
         the scale path for huge seed sets (a billion-URL frontier never
-        goes through the driver)."""
+        goes through the driver). ``now_ts`` stamps this run's cache /
+        tag writes (deterministic for tests; pass wall-clock in prod)."""
         cfg, store, spark = self.config, self.store, self.spark
         fetch_rule = cfg.fetch_rule_col()
         store_rule = cfg.store_rule_col()
+        # incremental mode: snapshot the crawler-scoped cache/tag
+        # tables ONCE per run — within a run the seen set already
+        # guarantees a url is fetched at most once
+        if cfg.incremental:
+            cache_df = store.read_shared(spark, "http_cache", HTTP_CACHE_SCHEMA)
+            inc_df = store.read_shared(spark, "inc_tags", INC_TAGS_SCHEMA)
+        else:
+            cache_df = inc_df = None
 
         if resume and (m := store.read_manifest()) is not None:
             start_round = m["last_complete_round"] + 1
@@ -209,7 +241,7 @@ class CrawlRunner:
                     "frontier", 0,
                     frontier0.observe(obs0, F.count(F.lit(1)).alias("rows")),
                 )
-                n_seeds = int(obs0.get["rows"])
+                n_seeds = int(_obs_counts(obs0, "rows")["rows"])
             else:
                 frontier0 = self._seed_frontier()
                 n_seeds = len(cfg.seeds)
@@ -220,7 +252,7 @@ class CrawlRunner:
 
         rnd = start_round
         status = "done"
-        pool = ThreadPoolExecutor(max_workers=2)
+        pool = ThreadPoolExecutor(max_workers=4)
         while rnd < cfg.max_rounds:
             if store.abort_requested():
                 status = "aborted"
@@ -258,8 +290,17 @@ class CrawlRunner:
 
             # fetch = corpus join (broadcast frontier side when small),
             # then gate+parse; ONE persisted DataFrame carries every
-            # fetch outcome of the round.
-            fetched = fetch_stage(selected, corpus, selected_count=n_selected)
+            # fetch outcome of the round. Incremental runs probe the
+            # http cache first (the conditional-GET of http.py:145-152)
+            # and replay 304s after the join.
+            probe_in = (
+                cache_probe(selected, cache_df, now_ts)
+                if cfg.incremental
+                else selected
+            )
+            fetched = fetch_stage(probe_in, corpus, selected_count=n_selected)
+            if cfg.incremental:
+                fetched = apply_replay(fetched)
             parsed = self._gate_and_parse(fetched, fetch_rule)
             # serialized persist: deserialized caching of row objects with
             # long text columns causes GC/storage contention at high core
@@ -274,16 +315,21 @@ class CrawlRunner:
                 F.count(F.lit(1)).alias("hits"),
                 F.count(F.when(F.col("_emit"), 1)).alias("emitted"),
             )
-            stored = (
-                observed.filter(F.col("_emit") & store_rule)
-                .select(*_RESULT_COLS)
-                .observe(obs_store, F.count(F.lit(1)).alias("rows"))
+            store_pre = observed.filter(F.col("_emit") & store_rule)
+            if cfg.incremental:
+                # skip_incremental: unchanged (url, content_hash) pairs
+                # — replayed rows and same-content re-fetches — are not
+                # re-stored (context.py:127-148)
+                store_pre = skip_unchanged(store_pre, inc_df, now_ts)
+            stored = store_pre.select(*_RESULT_COLS).observe(
+                obs_store, F.count(F.lit(1)).alias("rows")
             )
             # job 2: results write (counts ride along as observations)
             store.write_round("results", rnd, stored)
-            n_hits = int(obs_parse.get["hits"])
-            n_emitted = int(obs_parse.get["emitted"])
-            n_stored = int(obs_store.get["rows"])
+            parse_counts = _obs_counts(obs_parse, "hits", "emitted")
+            n_hits = int(parse_counts["hits"])
+            n_emitted = int(parse_counts["emitted"])
+            n_stored = int(_obs_counts(obs_store, "rows")["rows"])
             ph.mark(f"fetch+parse+store ({n_hits}/{n_emitted}/{n_stored})")
 
             # fetch-time seen tags: the redirect SOURCE url, tagged only
@@ -382,13 +428,29 @@ class CrawlRunner:
                     "redirect", value="url_norm", expire_days=cfg.expire_days,
                 )
             )
-            # job 4: frontier + seen writes in parallel threads — both
-            # read only cached data, so the two jobs overlap fully
-            fut_f = pool.submit(store.write_round, "frontier", rnd + 1, next_frontier)
-            fut_s = pool.submit(store.write_round, "seen", rnd, seen_rows)
-            fut_f.result()
-            fut_s.result()
-            frontier_rows = int(obs_frontier.get["rows"])
+            # job 4: frontier + seen (+ cache/inc-tag appends in
+            # incremental mode) in parallel threads — all read only
+            # cached data, so the jobs overlap fully
+            futs = [
+                pool.submit(store.write_round, "frontier", rnd + 1, next_frontier),
+                pool.submit(store.write_round, "seen", rnd, seen_rows),
+            ]
+            if cfg.incremental:
+                run_id_str = store.dir.name
+                futs.append(pool.submit(
+                    store.append_shared, "http_cache",
+                    cache_entries(parsed, run_id_str, cfg.expire_days, now_ts),
+                ))
+                inc_keys = skip_unchanged(
+                    parsed.filter(F.col("_emit") & store_rule), inc_df, now_ts
+                ).select("url_hash", "content_hash")
+                futs.append(pool.submit(
+                    store.append_shared, "inc_tags",
+                    inc_tag_entries(inc_keys, run_id_str, cfg.expire_days, now_ts),
+                ))
+            for fut in futs:
+                fut.result()
+            frontier_rows = int(_obs_counts(obs_frontier, "rows")["rows"])
             ph.mark(f"frontier+seen write (next={frontier_rows})")
             seen_count = seen_count + n_new  # redirect tags are few; bloom sizing only
 

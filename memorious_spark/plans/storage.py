@@ -97,6 +97,26 @@ class RunStore:
         reader = spark.read.schema(schema) if schema else spark.read
         return reader.parquet(*paths)
 
+    # ---- crawler-scoped shared tables (survive across runs) ---------
+    # The reference's crawler-scoped tags (http cache, incremental
+    # skip markers — memorious/logic/http.py:147, context.py:127-148)
+    # outlive any single run_id; they live beside the run dirs.
+
+    def shared_path(self, table: str) -> Path:
+        return self.dir.parent / "_shared" / table
+
+    def read_shared(
+        self, spark: SparkSession, table: str, schema: str | None = None
+    ) -> DataFrame | None:
+        p = self.shared_path(table)
+        if not p.is_dir() or not any(p.iterdir()):
+            return None
+        reader = spark.read.schema(schema) if schema else spark.read
+        return reader.parquet(str(p))
+
+    def append_shared(self, table: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(str(self.shared_path(table)))
+
     def commit_round(self, rnd: int, stats: dict) -> None:
         """Advance the manifest: round ``rnd`` is durable and complete."""
         manifest = self.read_manifest() or {"rounds": []}
