@@ -410,6 +410,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = skip_unchanged(stored, inc_tags, now_ts="2024-06-01 00:00:00")
         return out.select("doc_id", "url", "content_hash")
 
+    def db_nested_upsert(spark, sf_dir):
+        """The db sink's recursive upsert (operations/db.py:25-54) over
+        two runs: run 1 loads the even doc_ids, run 2 upserts all rows
+        with changed data — parent table keeps __first_seen of the
+        first run for surviving keys, children land in the suffixed
+        table with inherited parent columns."""
+        import tempfile
+
+        from memorious_spark.operators.sinks import db_sink_run
+        from memorious_spark.plans.storage import RunStore
+
+        docs = _docs(spark, sf_dir)
+        url = F.concat(
+            F.lit("https://h"), F.col("doc_id") % 7,
+            F.lit(".example.com/doc/"), F.col("doc_id"),
+        )
+        def results(bump):
+            return docs.select(
+                url.alias("url"),
+                "doc_id",
+                (F.col("n_chars") + bump).alias("n_chars"),
+                F.map_from_arrays(
+                    F.array(F.lit("tags")),
+                    F.array(F.array(F.col("source"), F.col("lang"))),
+                ).alias("properties"),
+            )
+
+        params = {
+            "table": "t", "unique": ["url"],
+            "children": [{
+                "key": "tags", "table_suffix": "tags",
+                "inherit": {"page_url": "url"},
+                "unique": ["page_url", "value"],
+            }],
+        }
+        store = RunStore(tempfile.mkdtemp(prefix="dbq_"), "dbq", "r1")
+        db_sink_run(
+            spark, store, results(0).filter(F.col("doc_id") % 2 == 0),
+            params, "dbq", "2024-01-02 00:00:00",
+        )
+        db_sink_run(spark, store, results(1), params, "dbq",
+                    "2024-01-05 00:00:00")
+        parent = store.read_shared(spark, "db_t")
+        child = store.read_shared(spark, "db_t_tags")
+        tags = child.groupBy(F.col("page_url").alias("url")).agg(
+            F.count("*").alias("n_tags"),
+            F.sort_array(F.collect_set("value")).alias("tag_values"),
+        )
+        return parent.join(tags, "url").select(
+            "url", "doc_id", "n_chars",
+            F.date_format("__first_seen", "yyyy-MM-dd").alias("first_seen"),
+            F.date_format("__last_seen", "yyyy-MM-dd").alias("last_seen"),
+            "n_tags",
+            F.concat_ws("|", "tag_values").alias("tags"),
+        )
+
     # -- initializers ----------------------------------------------------
     def seed_gen(spark, sf_dir):
         return seed(
@@ -624,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_skip": incremental_skip,
         "http_cache_replay": http_cache_replay,
         "incremental_second_run": incremental_second_run,
+        "db_nested_upsert": db_nested_upsert,
         "merge_first_last_seen": merge_first_last_seen,
         "seed_gen": seed_gen,
         "enumerate_gen": enumerate_gen,
@@ -784,6 +841,19 @@ def oracle_sql() -> dict[str, str]:
                      (CASE WHEN doc_id % 7 = 3 THEN 'v2' ELSE 'v1' END) AS content_hash
             FROM documents
             WHERE doc_id % 7 = 3 OR doc_id % 11 = 5 OR doc_id % 13 = 0
+        """,
+        "db_nested_upsert": """
+            SELECT 'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id AS url,
+                   doc_id,
+                   n_chars + 1 AS n_chars,
+                   CASE WHEN doc_id % 2 = 0 THEN '2024-01-02'
+                        ELSE '2024-01-05' END AS first_seen,
+                   '2024-01-05' AS last_seen,
+                   (CASE WHEN source = lang THEN 1 ELSE 2 END) AS n_tags,
+                   CASE WHEN source < lang THEN source || '|' || lang
+                        WHEN source = lang THEN source
+                        ELSE lang || '|' || source END AS tags
+            FROM documents
         """,
         "merge_first_last_seen": """
             WITH pre AS (

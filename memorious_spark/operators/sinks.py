@@ -1,16 +1,29 @@
-"""Sinks: directory store and the db upsert.
+"""Sinks: directory store, db upsert (flat + nested children), and the
+post-run aggregator hook.
 
 - ``directory_sink`` reproduces the blob + JSON-sidecar layout of
-  memorious/operations/store.py:42-70 (`<path>/<crawler>/
-  <content_hash>.data` + `<content_hash>.json`) via foreachPartition —
-  executor-side writes, no driver collect. File-per-blob is a fidelity
-  shape for small runs; at corpus scale results stay relational
-  (parquet round snapshots in RunStore).
-- ``merge_upsert`` is the ``db`` op (memorious/operations/db.py:9-22):
-  update-by-unique-keys else insert, stamping ``__first_seen`` /
-  ``__last_seen``. Expressed as a full-outer-shaped DataFrame merge
-  (Iceberg MERGE INTO on a real catalog); timestamps passed in, never
-  wall-clock, for determinism.
+  memorious/operations/store.py:42-70: per stored row a
+  ``<content_hash>.data.<ext>`` payload (ext from the normalized mime,
+  store.py:27-38) and a ``<content_hash>.json`` metadata sidecar under
+  ``<path>/<crawler>/``. foreachPartition — executor-side writes, no
+  driver collect. CAVEATS, by design: the payload is the extracted
+  ``text`` (the engine drops raw html after parse — the
+  pass-hash-not-body economy), and plain ``open()`` writes land on
+  each executor's LOCAL filesystem — correct in local mode and on any
+  shared mount; a real cluster with object storage should keep results
+  relational (RunStore parquet) or route through Hadoop FS APIs.
+- ``merge_upsert`` is the ``db`` op's core (memorious/operations/
+  db.py:9-22): update-by-unique-keys else insert, stamping
+  ``__first_seen`` / ``__last_seen``. Expressed as a full-outer-shaped
+  DataFrame merge (Iceberg MERGE INTO on a real catalog); timestamps
+  passed in, never wall-clock, for determinism.
+- ``db_sink_run`` applies it per crawl run against the crawler-scoped
+  persistent table, including the reference's nested-children
+  recursive upsert (db.py:25-54): each configured child key explodes
+  the parse ``properties`` array into a ``<table>_<suffix>`` child
+  table with ``inherit``ed parent columns. (The reference's children
+  are free-form dicts; the corpus engine's list-valued parse
+  properties are the structured analogue — documented deviation.)
 """
 
 from __future__ import annotations
@@ -18,18 +31,36 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["directory_sink", "merge_upsert"]
+__all__ = [
+    "directory_sink",
+    "merge_upsert",
+    "db_sink_run",
+    "run_aggregator",
+]
+
+# extension from normalized mime (reference uses mimetypes.guess_extension,
+# store.py:33-37; pinned table here so file names don't depend on the
+# host's mime registry)
+_EXT = {
+    "text/html": "html",
+    "text/plain": "txt",
+    "application/pdf": "pdf",
+    "application/json": "json",
+    "text/css": "css",
+    "image/png": "png",
+    "image/jpeg": "jpg",
+}
 
 
 def directory_sink(
     results: DataFrame, path: str, crawler: str, text_col: str = "text"
-) -> int:
-    """Write one ``<content_hash>.data`` + ``<content_hash>.json`` per
-    row under ``<path>/<crawler>/`` (store.py:42-70 layout). Returns
-    rows written. Executor-side foreachPartition — the driver never
-    sees row data."""
+) -> None:
+    """Write one ``<content_hash>.data.<ext>`` + ``<content_hash>.json``
+    per row under ``<path>/<crawler>/`` (store.py:42-70 layout: the
+    reference names blobs ``content_hash + '.' + safe_filename('data',
+    ext)``)."""
     out_dir = os.path.join(path, crawler)
     os.makedirs(out_dir, exist_ok=True)
     cols = [c for c in results.columns if c not in ("html",)]
@@ -39,19 +70,20 @@ def directory_sink(
         for row in rows:
             d = row.asDict(recursive=True)
             ch = d["content_hash"]
+            ext = _EXT.get(d.get("content_type") or "", "raw")
             text = d.get(text_col)
-            with open(os.path.join(out_dir, f"{ch}.data"), "w") as fh:
+            with open(os.path.join(out_dir, f"{ch}.data.{ext}"), "w") as fh:
                 fh.write(text or "")
             meta = {
                 k: (v.isoformat() if hasattr(v, "isoformat") else v)
                 for k, v in d.items()
                 if k != text_col
             }
+            meta["_file_name"] = f"{ch}.data.{ext}"
             with open(os.path.join(out_dir, f"{ch}.json"), "w") as fh:
                 json.dump(meta, fh, sort_keys=True)
 
     slim.foreachPartition(write_partition)
-    return slim.count()
 
 
 def merge_upsert(
@@ -98,3 +130,92 @@ def merge_upsert(
         .withColumn("__last_seen", ts)
     )
     return refreshed.unionByName(inserts)
+
+
+def _append_only(existing: DataFrame | None, batch: DataFrame, now: str) -> DataFrame:
+    """No unique keys → the reference always inserts (db.py:16-22)."""
+    ts = F.to_timestamp(F.lit(now))
+    stamped = batch.withColumn("__first_seen", ts).withColumn("__last_seen", ts)
+    return stamped if existing is None else existing.unionByName(stamped)
+
+
+def db_sink_run(
+    spark: SparkSession,
+    store,
+    results: DataFrame,
+    params: dict,
+    crawler: str,
+    now_ts: str,
+) -> None:
+    """Run-level ``db`` sink: merge this run's stored rows into the
+    crawler-scoped persistent table (+ child tables), once per run
+    after the frontier drains — the bulk analogue of the reference's
+    per-task rate-limited inserts (db.py:20-21: 6000 rows/min; a
+    batch MERGE needs no rate limiting).
+
+    ``params``: ``table`` (default crawler name), ``unique`` (merge
+    keys; absent → append-only), ``children``: list of ``{key,
+    table_suffix, inherit: {dest: src}, unique}`` where ``key`` names
+    a parse ``properties`` entry (db.py:25-54).
+    """
+    table = params.get("table") or crawler
+    unique = params.get("unique") or []
+    if isinstance(unique, str):
+        unique = [unique]
+    # children consume `properties` (the reference pops child keys out
+    # of the parent dict, db.py:31); the raw body never reaches the db
+    batch = results.drop(
+        *[c for c in ("html", "properties") if c in results.columns]
+    )
+
+    def _merge_into(tname: str, tbatch: DataFrame, keys: list[str]) -> None:
+        existing = store.read_shared(spark, f"db_{tname}")
+        merged = (
+            merge_upsert(existing, tbatch, keys, now_ts)
+            if keys
+            else _append_only(existing, tbatch, now_ts)
+        )
+        store.replace_shared(f"db_{tname}", merged)
+
+    _merge_into(table, batch, unique)
+
+    for child in params.get("children") or []:
+        key = child.get("key")
+        if not key or "properties" not in results.columns:
+            continue
+        suffix = child.get("table_suffix", key)
+        inherit = child.get("inherit") or {}
+        child_batch = results.select(
+            F.explode(F.element_at(F.col("properties"), key)).alias("value"),
+            *[F.col(src).alias(dest) for dest, src in inherit.items()],
+        )
+        child_unique = child.get("unique") or []
+        if isinstance(child_unique, str):
+            child_unique = [child_unique]
+        _merge_into(f"{table}_{suffix}", child_batch, child_unique)
+
+
+def run_aggregator(
+    spark: SparkSession, store, config: dict, results: DataFrame | None
+) -> str | None:
+    """Post-run aggregator hook (memorious/logic/crawler.py:66-87 —
+    one configured method invoked once when the job drains,
+    worker.py:22-27; e.g. the example project's datafreeze export,
+    example/src/example/quotes.py:74-76).
+
+    Built-in method ``export_json`` writes every stored row as one
+    JSON-lines dataset under ``params.path``. Unknown methods raise at
+    call time like the reference's late import failure."""
+    method = config.get("method")
+    params = config.get("params") or {}
+    if method in ("export_json", "datafreeze"):
+        path = params.get("path") or str(store.dir / "export")
+        if results is None:
+            return None
+        (
+            results.drop("html")
+            .write.mode("overwrite")
+            .json(path)
+        )
+        return path
+    raise ValueError(f"unknown aggregator method: {method!r}")

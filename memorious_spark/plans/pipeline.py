@@ -52,6 +52,17 @@ class CrawlConfig:
     # already carries an inc tag — memorious's INCREMENTAL setting
     # (memorious/settings.py:26, logic/context.py:127-148)
     incremental: bool = False
+    # store-stage sink: the method/params of the stage the parse
+    # stage's ``handle: {store: …}`` points at — "directory"
+    # (operations/store.py:42-70) or "db" (operations/db.py:57-62);
+    # None keeps the engine's relational parquet rounds only
+    store_method: str | None = None
+    store_params: dict | None = None
+    # post-run aggregator hook (memorious/logic/crawler.py:66-87,
+    # fired when the job drains, worker.py:22-27)
+    aggregator: dict | None = None
+    # DEBUG emit sampling (memorious/logic/context.py:56-61)
+    sampling_rate: float | None = None
 
     def fetch_rule_col(self):
         return compile_rule(self.fetch_rules)
@@ -93,6 +104,8 @@ def load_config(spec: dict) -> CrawlConfig:
     retries = 3
     emit_errors = False
     budget = 1_000_000_000
+    store_stage_name = None
+    store_method = store_params = None
     for stage in stages.values():
         method = stage.get("method")
         params = stage.get("params") or {}
@@ -109,6 +122,7 @@ def load_config(spec: dict) -> CrawlConfig:
                 budget = int(params["rate_limit"])
         elif method == "parse":
             store_rules = params.get("store")
+            store_stage_name = (stage.get("handle") or {}).get("store")
             meta = {
                 k: (v if isinstance(v, list) else [v])
                 for k, v in (params.get("meta") or {}).items()
@@ -125,6 +139,14 @@ def load_config(spec: dict) -> CrawlConfig:
                 ),
                 schema=params.get("schema"),
             )
+    # the parse stage's `store` handler names the sink stage; its
+    # method+params drive the engine's store step (the reference
+    # late-binds this per task, stage.py:20-31; we resolve at load)
+    if store_stage_name is not None:
+        sink = stages[store_stage_name]
+        if sink.get("method") in ("directory", "db"):
+            store_method = sink["method"]
+            store_params = dict(sink.get("params") or {})
     # fail fast on bad rule specs (reference raises per-task; we at load)
     for rules in (fetch_rules, store_rules):
         try:
@@ -144,4 +166,8 @@ def load_config(spec: dict) -> CrawlConfig:
         max_depth=spec.get("max_depth"),
         expire_days=spec.get("expire"),
         incremental=bool(spec.get("incremental", False)),
+        store_method=store_method,
+        store_params=store_params,
+        aggregator=spec.get("aggregator"),
+        sampling_rate=spec.get("sampling_rate"),
     )

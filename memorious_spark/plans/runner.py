@@ -321,7 +321,10 @@ class CrawlRunner:
                 # — replayed rows and same-content re-fetches — are not
                 # re-stored (context.py:127-148)
                 store_pre = skip_unchanged(store_pre, inc_df, now_ts)
-            stored = store_pre.select(*_RESULT_COLS).observe(
+            # the un-observed twin of `stored` for extra sinks (a plan
+            # node with an Observation cannot appear in two queries)
+            sink_rows = store_pre.select(*_RESULT_COLS)
+            stored = sink_rows.observe(
                 obs_store, F.count(F.lit(1)).alias("rows")
             )
             # job 2: results write (counts ride along as observations)
@@ -349,6 +352,10 @@ class CrawlRunner:
             cands = extract_links_df(parsed.filter(F.col("_emit"))).filter(
                 scheme_ok_col(F.col("url"))
             )
+            if cfg.sampling_rate is not None and cfg.sampling_rate < 1.0:
+                # DEBUG emit sampling (context.py:56-61: emit proceeds
+                # with probability p); seeded for reproducibility
+                cands = cands.sample(cfg.sampling_rate, seed=42)
             if cfg.max_depth is not None:
                 cands = cands.filter(F.col("depth") <= cfg.max_depth)
             cands = cands.withColumn("url_norm", norm_col(F.col("url"))).withColumn(
@@ -435,6 +442,17 @@ class CrawlRunner:
                 pool.submit(store.write_round, "frontier", rnd + 1, next_frontier),
                 pool.submit(store.write_round, "seen", rnd, seen_rows),
             ]
+            if cfg.store_method == "directory" and n_stored:
+                # YAML `directory` sink: blob + JSON sidecar per stored
+                # row (operations/store.py:42-70), off the parsed cache
+                from memorious_spark.operators.sinks import directory_sink
+
+                dir_path = (cfg.store_params or {}).get(
+                    "path", str(store.dir / "store")
+                )
+                futs.append(pool.submit(
+                    directory_sink, sink_rows, dir_path, cfg.name
+                ))
             if cfg.incremental:
                 run_id_str = store.dir.name
                 futs.append(pool.submit(
@@ -494,6 +512,23 @@ class CrawlRunner:
             rnd += 1
 
         pool.shutdown(wait=False)
+        # run-level sinks + the post-drain aggregator hook
+        # (crawler.py:66-87 fires `aggregate` when pending hits 0)
+        if status == "done" and (
+            cfg.store_method == "db" or cfg.aggregator is not None
+        ):
+            results_all = store.read_all(spark, "results", rnd)
+            if cfg.store_method == "db" and results_all is not None:
+                from memorious_spark.operators.sinks import db_sink_run
+
+                db_sink_run(
+                    spark, store, results_all, cfg.store_params or {},
+                    cfg.name, now_ts,
+                )
+            if cfg.aggregator is not None:
+                from memorious_spark.operators.sinks import run_aggregator
+
+                run_aggregator(spark, store, cfg.aggregator, results_all)
         store.finish(status)
         return RunResult(
             run_id=store.dir.name,

@@ -117,6 +117,22 @@ class RunStore:
     def append_shared(self, table: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(str(self.shared_path(table)))
 
+    def replace_shared(self, table: str, df: DataFrame) -> None:
+        """Version-swap rewrite of a shared table (``df`` may read the
+        table's current contents — e.g. a MERGE result): materialize
+        into ``<table>__new`` first, then swap directories. The Iceberg
+        analogue is a MERGE INTO snapshot commit."""
+        target = self.shared_path(table)
+        target.parent.mkdir(parents=True, exist_ok=True)
+        tmp = target.with_name(table + "__new")
+        df.write.mode("overwrite").parquet(str(tmp))
+        old = target.with_name(table + "__old")
+        shutil.rmtree(old, ignore_errors=True)
+        if target.exists():
+            target.rename(old)
+        tmp.rename(target)
+        shutil.rmtree(old, ignore_errors=True)
+
     def commit_round(self, rnd: int, stats: dict) -> None:
         """Advance the manifest: round ``rnd`` is durable and complete."""
         manifest = self.read_manifest() or {"rounds": []}

@@ -107,17 +107,21 @@ def test_merge_upsert_first_last_seen(spark):
 
 def test_directory_sink(spark, tmp_path):
     df = spark.createDataFrame(
-        [("http://x/1", "hash1", "text one"), ("http://x/2", "hash2", "two")],
-        "url string, content_hash string, text string",
+        [
+            ("http://x/1", "hash1", "text/html", "text one"),
+            ("http://x/2", "hash2", "application/pdf", "two"),
+        ],
+        "url string, content_hash string, content_type string, text string",
     )
-    n = directory_sink(df, str(tmp_path), "mycrawler")
-    assert n == 2
-    data = (tmp_path / "mycrawler" / "hash1.data").read_text()
+    directory_sink(df, str(tmp_path), "mycrawler")
+    data = (tmp_path / "mycrawler" / "hash1.data.html").read_text()
     assert data == "text one"
+    assert (tmp_path / "mycrawler" / "hash2.data.pdf").exists()
     import json
 
     meta = json.loads((tmp_path / "mycrawler" / "hash1.json").read_text())
     assert meta["url"] == "http://x/1" and "text" not in meta
+    assert meta["_file_name"] == "hash1.data.html"
 
 
 # ---- dedup family ------------------------------------------------------------

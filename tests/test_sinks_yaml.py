@@ -1,0 +1,130 @@
+"""YAML-driven sinks e2e: a `simple_web_scraper.yml`-shaped pipeline
+(memorious/tests/testdata/config/simple_web_scraper.yml:11-62) whose
+store stage params actually flow through the runner — `directory`
+produces the blob+sidecar layout, `db` merges into the crawler-scoped
+persistent table (with nested children, operations/db.py:25-54) and
+the post-run aggregator fires after the drain."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from memorious_spark.plans.pipeline import load_yaml
+from memorious_spark.plans.runner import CrawlRunner
+from memorious_spark.plans.storage import RunStore
+from memorious_spark.sources.corpus import build_corpus
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("word"), F.col("id") % 11, F.lit(" body")).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    df = build_corpus(spark, docs, N_DOCS).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _yaml(store_block: str, extra: str = "") -> str:
+    return f"""
+name: sink_crawl
+max_rounds: 30
+{extra}
+pipeline:
+  init:
+    method: seed
+    params:
+      urls: ["https://h0.example.com/doc/0", "https://h1.example.com/doc/1"]
+    handle: {{pass: fetch}}
+  fetch:
+    method: fetch
+    params: {{retry: 1, rules: {{mime_group: web}}}}
+    handle: {{pass: parse}}
+  parse:
+    method: parse
+    params:
+      store: {{mime_type: "text/html"}}
+      properties: {{headings: ".//h1"}}
+    handle: {{store: store, fetch: fetch}}
+{store_block}
+"""
+
+
+def test_directory_sink_from_yaml(spark, corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("dirsink")
+    cfg = load_yaml(_yaml(f"""
+  store:
+    method: directory
+    params: {{path: {out}}}
+"""))
+    assert cfg.store_method == "directory"
+    store = RunStore(tmp_path_factory.mktemp("runs"), cfg.name, "r1")
+    res = CrawlRunner(spark, cfg, store).run(corpus)
+    assert res.pages_stored > 50
+    files = list((out / "sink_crawl").iterdir())
+    datas = [f for f in files if ".data." in f.name]
+    sidecars = [f for f in files if f.name.endswith(".json")]
+    assert len(datas) == len(sidecars) > 0
+    meta = json.loads(sidecars[0].read_text())
+    assert meta["content_hash"] in sidecars[0].name
+    assert meta["_file_name"].endswith(".html")
+    # payloads carry the extracted text
+    assert any(f.read_text() for f in datas)
+
+
+def test_db_sink_with_children_and_merge(spark, corpus, tmp_path_factory):
+    root = tmp_path_factory.mktemp("dbruns")
+    yaml_text = _yaml("""
+  store:
+    method: db
+    params:
+      table: pages
+      unique: [url]
+      children:
+        - key: headings
+          table_suffix: heads
+          inherit: {page_url: url}
+""")
+    cfg = load_yaml(yaml_text)
+    assert cfg.store_method == "db"
+    store1 = RunStore(root, cfg.name, "r1")
+    CrawlRunner(spark, cfg, store1).run(corpus, now_ts="2024-01-02 00:00:00")
+    t1 = store1.read_shared(spark, "db_pages")
+    n1 = t1.count()
+    assert n1 > 50
+    first = {str(r["__first_seen"]) for r in t1.select("__first_seen").collect()}
+    assert first == {"2024-01-02 00:00:00"}
+    # child table: one row per h1 heading with the inherited parent url
+    heads = store1.read_shared(spark, "db_pages_heads")
+    hrow = heads.first()
+    assert hrow["value"].startswith("Doc ")
+    assert hrow["page_url"].startswith("https://h")
+
+    # second run: same pages → updated __last_seen, preserved
+    # __first_seen, no duplicate rows (update-by-unique, db.py:16-19)
+    store2 = RunStore(root, cfg.name, "r2")
+    CrawlRunner(spark, cfg, store2).run(corpus, now_ts="2024-01-05 00:00:00")
+    t2 = store2.read_shared(spark, "db_pages")
+    assert t2.count() == n1
+    row = t2.first()
+    assert str(row["__first_seen"]) == "2024-01-02 00:00:00"
+    assert str(row["__last_seen"]) == "2024-01-05 00:00:00"
+
+
+def test_aggregator_fires_after_drain(spark, corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("agg") / "export"
+    cfg = load_yaml(_yaml("""
+  store:
+    method: db
+    params: {table: pages, unique: [url]}
+""", extra=f"aggregator: {{method: export_json, params: {{path: {out}}}}}"))
+    store = RunStore(tmp_path_factory.mktemp("aggruns"), cfg.name, "r1")
+    res = CrawlRunner(spark, cfg, store).run(corpus)
+    exported = spark.read.json(str(out))
+    assert exported.count() == res.pages_stored
