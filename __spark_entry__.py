@@ -34,6 +34,7 @@ _STOPWORDS = (" the ", " a ", " and ", " of ", " to ")
 N_PERM, N_BANDS = 16, 4
 KNN_PLANES = 6
 EMB_DIM = 64
+LSH_BANDS, LSH_PPB = 4, 4
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,10 +150,102 @@ sh AS (
 """
 
 
+def _simhash_sql() -> str:
+    """DuckDB twin of dedup.simhash_signature_cols + simhash_pairs:
+    identical md5 word-hash bit math, 64 ±1 sums, 16-bit banding,
+    hamming ≤ 3 filter."""
+    lo_sums = ", ".join(
+        f"sum(CASE WHEN ((w_lo >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    hi_sums = ", ".join(
+        f"sum(CASE WHEN ((w_hi >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{32 + b}"
+        for b in range(32)
+    )
+    sig_lo = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(32)
+    )
+    sig_hi = " + ".join(
+        f"(CASE WHEN s{32 + b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok FROM documents,
+      LATERAL unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    words AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS w_lo,
+             CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS w_hi
+      FROM toks
+    ),
+    sums AS (SELECT doc_id, {lo_sums}, {hi_sums} FROM words GROUP BY doc_id),
+    sigs0 AS (SELECT doc_id, {sig_lo} AS sig_lo, {sig_hi} AS sig_hi FROM sums),
+    sigs AS (
+      SELECT d.doc_id, coalesce(s.sig_lo, 0) AS sig_lo,
+             coalesce(s.sig_hi, 0) AS sig_hi
+      FROM documents d LEFT JOIN sigs0 s USING (doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, sig_lo, sig_hi, b.band,
+             CASE b.band WHEN 0 THEN sig_lo & 65535
+                         WHEN 1 THEN (sig_lo >> 16) & 65535
+                         WHEN 2 THEN sig_hi & 65535
+                         ELSE (sig_hi >> 16) & 65535 END AS key
+      FROM sigs, LATERAL unnest([0, 1, 2, 3]) AS b(band)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                + bit_count(xor(a.sig_hi, b.sig_hi)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+          + bit_count(xor(a.sig_hi, b.sig_hi)) <= 3
+    """
+
+
 def _plane_signs(plane: int, dim: int = EMB_DIM) -> list[float]:
     from memorious_spark.operators.similarity import _plane_sign
 
     return [_plane_sign(plane, d) for d in range(dim)]
+
+
+def _emb_lsh_pairs_sql(threshold: float = 0.35) -> str:
+    """DuckDB twin of dedup.embedding_dup_pairs_lsh: same md5-parity
+    hyperplanes (global plane index band·ppb + j), banded buckets,
+    exact cosine re-rank."""
+    def bucket_expr(band: int) -> str:
+        arrays = [
+            "[" + ", ".join(str(s) for s in _plane_signs(band * LSH_PPB + j)) + "]"
+            for j in range(LSH_PPB)
+        ]
+        return " + ".join(
+            f"(CASE WHEN {_F64_DOT.format(a='e.embedding', b=arrays[j], dim=EMB_DIM)} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(LSH_PPB)
+        )
+
+    buckets = ", ".join(
+        f"({bucket_expr(b)}) AS bucket{b}" for b in range(LSH_BANDS)
+    )
+    band_joins = "\nUNION\n".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a "
+        f"JOIN bk b ON a.bucket{band} = b.bucket{band} AND a.vec_id < b.vec_id"
+        for band in range(LSH_BANDS)
+    )
+    return f"""
+    WITH bk AS (SELECT e.vec_id, e.embedding, {buckets} FROM embeddings e),
+    cand AS (SELECT DISTINCT id_a, id_b FROM ({band_joins}))
+    SELECT c.id_a, c.id_b,
+           round({_cosine_sql('x.embedding', 'y.embedding')}, 6) AS cosine
+    FROM cand c
+    JOIN embeddings x ON x.vec_id = c.id_a
+    JOIN embeddings y ON y.vec_id = c.id_b
+    WHERE round({_cosine_sql('x.embedding', 'y.embedding')}, 6) >= {threshold}
+    """
 
 
 _F64_DOT = (
@@ -501,12 +594,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def make_id(spark, sf_dir):
+        """make_key text (oracle-exact) + make_id digest shape; the
+        digest is reference-faithful sha1(make_key) (helpers/key.py:
+        6-10) whose byte-exactness is pinned against hashlib in
+        pytest — DuckDB has no sha1 function to oracle it here."""
+        from memorious_spark.functions.keys import make_id as mkid, make_key
+
         nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        parts = (F.lit("crawler"), F.col("n_name"))
         return nation.select(
             "n_nationkey",
-            F.sha2(F.concat_ws(":", F.lit("crawler"), F.col("n_name")), 256).alias(
-                "key_id"
-            ),
+            make_key(*parts).alias("key"),
+            F.length(mkid(*parts)).cast("int").alias("id_len"),
         )
 
     def rule_filter(spark, sf_dir):
@@ -570,6 +669,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def embedding_dup_pairs(spark, sf_dir):
         return dedup.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+    def embedding_dup_pairs_lsh(spark, sf_dir):
+        return dedup.embedding_dup_pairs_lsh(
+            _emb(spark, sf_dir), dim=EMB_DIM, threshold=0.35,
+            bands=LSH_BANDS, planes_per_band=LSH_PPB,
+        )
 
     # -- similarity search --------------------------------------------------
     def _query_vec(spark, sf_dir):
@@ -696,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": ngram_jaccard_dedup,
         "simhash_dedup": simhash_dedup,
         "embedding_dup_pairs": embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
         "embedding_knn": embedding_knn,
         "ann_lsh_knn": ann_lsh_knn,
         "lang_id": lang_id,
@@ -898,7 +1004,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "make_id": """
-            SELECT n_nationkey, sha256('crawler:' || n_name) AS key_id FROM nation
+            SELECT n_nationkey, 'crawler:' || n_name AS key,
+                   40 AS id_len FROM nation
         """,
         "rule_filter": """
             SELECT doc_id,
@@ -962,6 +1069,8 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.35
         """,
+        "simhash_dedup": _simhash_sql(),
+        "embedding_dup_pairs_lsh": _emb_lsh_pairs_sql(),
         "embedding_knn": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
@@ -1016,6 +1125,6 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes
             FROM documents
         """,
-        # simhash_dedup, clean_html_op: non-SQL-expressible (hash bit math /
-        # DOM surgery) → rows-only checks by design.
+        # clean_html_op: non-SQL-expressible (DOM surgery) → rows-only
+        # check by design.
     }

@@ -9,19 +9,24 @@ reference's only dedup is the URL-seen tag set; these deduplicate
 - MinHash+LSH: signature → band → one shuffle on (band, band_hash) —
   the classic O(n·bands) candidate generation instead of O(n²)
   self-join; only bucket-mates are pair-joined.
-- n-gram Jaccard: inverted-index style shingle explode + self-join on
-  shingle, counts per pair → Jaccard; prunes by shared-shingle ≥ 1.
-- SimHash: 64-bit vectorized signature via a pandas UDF (numpy,
-  Arrow-batched), hamming-distance banding for candidates.
-- embedding near-dup: cosine ≥ τ via exact pair join at test scale;
-  the LSH-bucketed path is in similarity.py.
+- n-gram Jaccard: inverted-index shingle explode + self-join on the
+  shingle; ``max_df`` prefix-filtering drops shingles shared by more
+  than ``max_df`` docs (one hot shingle otherwise costs O(df²) pairs).
+- SimHash: 64-bit signature computed ENTIRELY JVM-side (token explode
+  → md5 word-hash bits → 64 conditional sums → bit assembly; no
+  Python anywhere), candidates by 16-bit banding, pairs kept only at
+  ``hamming ≤ max_hamming`` — the ≤3-bit pigeonhole guarantee the
+  banding provides.
+- embedding near-dup: EXACT pairs via the block-grid self-join (each
+  row replicated to its block row/column; every pair meets in exactly
+  one equi-join bucket — an AQE-splittable shuffle join, never a
+  BroadcastNestedLoopJoin); the sub-quadratic approximate path is
+  :func:`embedding_dup_pairs_lsh` (banded sign-LSH + exact re-rank).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from memorious_spark.functions.textops import fingerprint, minhash_signature, shingles
 from memorious_spark.operators.frontier import ensure_parallelism
@@ -30,9 +35,11 @@ __all__ = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "simhash_signature_cols",
     "simhash_col",
     "simhash_pairs",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh",
 ]
 
 
@@ -111,18 +118,40 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k_shingle: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
     Inverted-index join: explode distinct shingles, self-join on the
     shingle, count shared per pair, Jaccard = shared/(|A|+|B|-shared).
-    Shuffles on the shingle key (frequency-bounded), never crossJoins.
+    Shuffles on the shingle key, never crossJoins.
+
+    ``max_df`` is the scale guard (standard prefix filtering): a
+    shingle shared by f docs contributes O(f²) join rows, so one
+    boilerplate shingle at f=10^5 detonates the self-join. Shingles
+    with document frequency > max_df are dropped from the inverted
+    index (their count is logged via the returned plan's filter); set
+    sizes |A|,|B| keep the full shingle sets, so pairs supported by
+    surviving shingles score their true Jaccard — pairs similar ONLY
+    through dropped ubiquitous shingles are (deliberately) not
+    reported. With max_df above the corpus's true max df the result
+    is exact.
     """
     sh = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(F.col(text_col), k_shingle)).alias("sh"),
     ).withColumn("n", F.size("sh"))
     exploded = sh.select("id", "n", F.explode("sh").alias("s"))
+    if max_df is not None:
+        hot = (
+            exploded.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        # the hot set is tiny by construction (few shingles can exceed
+        # a large df) → broadcast anti-join
+        exploded = exploded.join(F.broadcast(hot), "s", "left_anti")
     l, r = exploded.alias("l"), exploded.alias("r")
     shared = (
         l.join(r, (F.col("l.s") == F.col("r.s")) & (F.col("l.id") < F.col("r.id")))
@@ -143,35 +172,72 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def simhash_col(text_col: str = "text", bits: int = 64):
-    """64-bit SimHash as a vectorized pandas UDF (numpy bit-count math,
-    Arrow-batched — no per-row Python at the Spark layer)."""
+# ---- SimHash (pure Column expressions, no UDF) ------------------------------
 
-    @F.pandas_udf("long")
-    def _simhash(text: pd.Series) -> pd.Series:  # pragma: no cover (executor)
-        import hashlib
+def _word_bits(tok: Column) -> tuple[Column, Column]:
+    """Deterministic 64-bit token hash as two 32-bit words from the
+    md5 hex (chars 1-8 → low word, 9-16 → high word) — bit-for-bit
+    reproducible in any engine with md5 (the DuckDB oracle computes
+    the identical signature)."""
+    h = F.md5(tok)
+    lo = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    hi = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return lo, hi
 
-        out = np.zeros(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            if not t:
-                continue
-            acc = np.zeros(bits, dtype=np.int64)
-            for tok in t.lower().split():
-                # deterministic 64-bit token hash (Python's hash() is
-                # per-process salted — never use it on executors)
-                h = int.from_bytes(
-                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
-                )
-                hbits = (np.uint64(h) >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(hbits.astype(bool), 1, -1)
-            sig = np.uint64(0)
-            for b in range(bits):
-                if acc[b] > 0:
-                    sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig)
-        return pd.Series(out)
 
-    return _simhash(F.col(text_col))
+def simhash_signature_cols(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc as two 32-bit halves (sig_lo, sig_hi).
+
+    Entirely JVM-side: lower+split tokens → explode → per-bit ±1 sums
+    (64 conditional aggregates, map-side partials) → majority bits
+    assembled with shifts. Linear in total tokens, no Python, no UDF —
+    this is the vectorization fix for the per-token Python loop the
+    round-1 review flagged. Docs with no tokens get signature 0.
+    """
+    toks = F.array_compact(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    ex = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), F.explode_outer(toks).alias("tok")
+    )
+    lo, hi = _word_bits(F.col("tok"))
+    ex = ex.select("id", lo.alias("w_lo"), hi.alias("w_hi"))
+
+    def bit_sum(word: Column, b: int, name: str) -> Column:
+        bit = F.shiftright(word, b).bitwiseAND(F.lit(1))
+        # explode_outer null (empty doc) contributes 0
+        return F.sum(
+            F.when(word.isNull(), 0).when(bit == 1, 1).otherwise(-1)
+        ).alias(name)
+
+    aggs = [bit_sum(F.col("w_lo"), b, f"s{b}") for b in range(32)] + [
+        bit_sum(F.col("w_hi"), b, f"s{32 + b}") for b in range(32)
+    ]
+    summed = ex.groupBy("id").agg(*aggs)
+
+    def assemble(base: int) -> Column:
+        out = F.lit(0).cast("long")
+        for b in range(32):
+            out = out + F.when(
+                F.col(f"s{base + b}") > 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    return summed.select(
+        "id", assemble(0).alias("sig_lo"), assemble(32).alias("sig_hi")
+    )
+
+
+def simhash_col(docs_or_text=None, **_kw):  # pragma: no cover - thin shim
+    raise NotImplementedError(
+        "simhash_col(text_col) was the round-1 Python-UDF path; use "
+        "simhash_signature_cols(docs) — the JVM-side replacement."
+    )
 
 
 def simhash_pairs(
@@ -179,34 +245,40 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     band_bits: int = 16,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup candidates by SimHash banding: docs sharing any 16-bit
-    band of the 64-bit signature (≤ 3-bit hamming guarantee by the
-    pigeonhole principle when bands=4)."""
-    sig = ensure_parallelism(docs).select(
-        F.col(id_col).alias("id"), simhash_col(text_col).alias("sig")
-    )
-    n_bands = 64 // band_bits
+    """Near-duplicate pairs by SimHash banding + hamming threshold.
+
+    Docs sharing any ``band_bits``-bit band of the 64-bit signature
+    become candidates (with 4 bands, any pair at hamming ≤ 3 shares a
+    band by pigeonhole — zero false negatives up to the threshold);
+    candidates are then FILTERED to ``hamming ≤ max_hamming`` — the
+    round-1 version returned raw band collisions, which is a candidate
+    generator, not a dedup operator."""
+    assert 64 % band_bits == 0
+    sig = simhash_signature_cols(docs, id_col, text_col)
     mask = (1 << band_bits) - 1
-    # shiftright needs a literal shift → unroll bands driver-side
+    per_word = 32 // band_bits
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("sig_lo", b * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(per_word)
+    ] + [
+        F.struct(
+            F.lit(per_word + b).alias("band"),
+            F.shiftright("sig_hi", b * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(per_word)
+    ]
     banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("sig", b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.key")
+        "id", "sig_lo", "sig_hi", F.explode(F.array(*bands)).alias("bk")
+    ).select("id", "sig_lo", "sig_hi", "bk.band", "bk.key")
     l, r = banded.alias("l"), banded.alias("r")
+    hamming = F.bit_count(
+        F.col("l.sig_lo").bitwiseXOR(F.col("r.sig_lo"))
+    ) + F.bit_count(F.col("l.sig_hi").bitwiseXOR(F.col("r.sig_hi")))
     return (
         l.join(
             r,
@@ -217,9 +289,28 @@ def simhash_pairs(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+            hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+# ---- embedding near-dup ------------------------------------------------------
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
 
 
@@ -228,33 +319,111 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Exact cosine-similarity pairs ≥ threshold (test-scale baseline;
-    the LSH-bucketed scale path lives in similarity.lsh_buckets)."""
-    norm = F.sqrt(
-        F.aggregate(
-            F.col(vec_col),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
+    """EXACT cosine-similarity pairs ≥ threshold via the block-grid
+    self-join.
+
+    Every row gets block ``b = xxhash64(id) % B``; a row joins as the
+    LEFT of block-pairs ``(b, q≥b)`` and as the RIGHT of ``(p≤b, b)``,
+    so each unordered pair meets in exactly ONE equi-join bucket (the
+    ``id_a < id_b`` predicate resolves the same-block double-match).
+    Replication factor ~B per side, B² balanced buckets — a plain
+    shuffled equi-join AQE can split, where the round-1 ``l.id < r.id``
+    non-equi join planned a BroadcastNestedLoopJoin (single broadcast
+    of the whole table + O(n²) on one executor's threads). Exact
+    all-pairs compute is inherently O(n²) — for sub-quadratic scale
+    use :func:`embedding_dup_pairs_lsh`."""
     v = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("nrm")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("b"),
     )
-    l, r = v.alias("l"), v.alias("r")
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("l.v"), F.col("r.v"), lambda a, b: a.cast("double") * b.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    l = v.withColumn(
+        "q", F.explode(F.sequence(F.col("b"), F.lit(n_blocks - 1)))
+    ).select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("nrm").alias("nrm_a"), F.col("b").alias("p"), "q",
     )
+    r = v.withColumn(
+        "p", F.explode(F.sequence(F.lit(0), F.col("b")))
+    ).select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("nrm").alias("nrm_b"), "p", F.col("b").alias("q"),
+    )
+    dot = _dot(F.col("v_a"), F.col("v_b"))
+    # a cross-block pair meets exactly once (its min-block row as left,
+    # max-block row as right) regardless of id order → normalize ids
+    # with least/greatest; same-block pairs (p == q) match in both
+    # orientations plus self-pairs → keep only id_a < id_b there
     return (
-        l.join(r, F.col("l.id") < F.col("r.id"))
+        l.join(r, ["p", "q"])
+        .filter((F.col("p") != F.col("q")) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            F.least("id_a", "id_b").alias("pid_a"),
+            F.greatest("id_a", "id_b").alias("pid_b"),
+            F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6).alias("cosine"),
+        )
+        .withColumnsRenamed({"pid_a": "id_a", "pid_b": "id_b"})
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bands: int = 4,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Approximate near-dup pairs: banded sign-LSH bucketing + exact
+    cosine re-rank inside buckets — the sub-quadratic scale path.
+
+    Each band hashes the vector with ``planes_per_band`` deterministic
+    hyperplanes (md5-parity signs, similarity.py); vectors sharing any
+    band bucket are candidates, re-checked exactly. Candidate volume ~
+    n·bands·E[bucket]/2 — one equi-join shuffle on (band, bucket).
+    Recall follows the standard banding curve (1-(1-s^r)^b for sign-
+    collision prob s); pairs missed by every band are not reported."""
+    from memorious_spark.operators.similarity import lsh_bucket_col
+
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        *[
+            lsh_bucket_col(
+                F.col(vec_col), dim, planes_per_band, plane_offset=b * planes_per_band
+            ).alias(f"bucket{b}")
+            for b in range(bands)
+        ],
+    )
+    banded = v.select(
+        "id", "v", "nrm",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"bucket{b}").alias("key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "v", "nrm", "bk.band", "bk.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    dot = _dot(F.col("l.v"), F.col("r.v"))
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
             F.round(dot / (F.col("l.nrm") * F.col("r.nrm")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )

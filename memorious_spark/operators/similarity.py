@@ -66,12 +66,18 @@ def _plane_sign(plane: int, dim: int) -> float:
     return 1.0 if digest[0] % 2 == 0 else -1.0
 
 
-def lsh_bucket_col(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-LSH bucket id: bit i = sign(v · h_i) for deterministic
-    hyperplanes h_i ∈ {±1}^dim. Pure Column arithmetic, no UDF."""
+def lsh_bucket_col(
+    vec_col: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
+    """Sign-LSH bucket id: bit i = sign(v · h_{offset+i}) for
+    deterministic hyperplanes h ∈ {±1}^dim. Pure Column arithmetic,
+    no UDF. ``plane_offset`` selects an independent plane family per
+    band (banded pair-LSH in dedup.embedding_dup_pairs_lsh)."""
     bucket = F.lit(0)
     for p in range(n_planes):
-        signs = F.array(*[F.lit(_plane_sign(p, d)) for d in range(dim)])
+        signs = F.array(
+            *[F.lit(_plane_sign(plane_offset + p, d)) for d in range(dim)]
+        )
         bit = (_dot(vec_col, signs) > 0).cast("int")
         bucket = bucket + F.shiftleft(bit, p)
     return bucket

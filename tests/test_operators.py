@@ -164,6 +164,63 @@ def test_simhash_pairs(docs):
         for r in dedup.simhash_pairs(docs).collect()
     }
     assert pairs[(0, 1)] == 0  # identical text → identical signature
+    # the hamming threshold actually filters: every returned pair ≤ 3
+    assert all(h <= 3 for h in pairs.values())
+    # unrelated docs (large hamming) are NOT in the result
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_signature_is_jvm_side(docs):
+    from tests.test_plans import _plan
+
+    plan = _plan(dedup.simhash_pairs(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_df_cap_drops_hot_shingle(spark):
+    # 10 docs all share one boilerplate shingle; pairs supported only
+    # by it disappear under the cap, truly-similar pairs survive
+    rows = [(i, f"common boiler plate unique{i} words here") for i in range(10)]
+    rows += [(100, "alpha beta gamma delta eps"), (101, "alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.3, max_df=5).collect()
+    }
+    assert (100, 101) in capped
+    assert not any(a < 100 and b < 100 for a, b in capped)
+
+
+def test_embedding_lsh_pairs_match_exact_on_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_dup_pairs_lsh(
+            emb, dim=4, threshold=0.9
+        ).collect()
+    }
+    # identical-direction vectors share every band bucket → always found
+    assert lsh == {(0, 1)}
+
+
+def test_make_id_is_sha1_of_make_key(spark):
+    import hashlib
+
+    from memorious_spark.functions.keys import make_id, make_key
+
+    df = spark.createDataFrame([("crawler", "GERMANY")], "a string, b string")
+    row = df.select(
+        make_key(F.col("a"), F.col("b")).alias("k"),
+        make_id(F.col("a"), F.col("b")).alias("i"),
+    ).first()
+    assert row["k"] == "crawler:GERMANY"
+    assert row["i"] == hashlib.sha1(b"crawler:GERMANY").hexdigest()
 
 
 def test_embedding_dup_and_knn(spark):

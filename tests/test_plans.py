@@ -82,3 +82,43 @@ def test_no_cartesian_in_lsh_pairs(spark):
     )
     plan = _plan(minhash_lsh_pairs(docs))
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_embedding_pairs_are_equi_joins(spark):
+    """The round-1 `l.id < r.id` non-equi self-join planned a
+    BroadcastNestedLoopJoin — O(n²) through one broadcast. Both the
+    exact block-grid and the banded-LSH path must plan as shuffled
+    equi-joins."""
+    from memorious_spark.operators.dedup import (
+        embedding_dup_pairs, embedding_dup_pairs_lsh,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    for df in (
+        embedding_dup_pairs(emb, threshold=0.9),
+        embedding_dup_pairs_lsh(emb, dim=4, threshold=0.9),
+    ):
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+        assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_politeness_two_phase_has_salted_window(spark):
+    """Skew guard: the first politeness window must partition by
+    (host, salt), never by host alone as the only window."""
+    from memorious_spark.operators.frontier import politeness_dequeue
+
+    frontier = spark.createDataFrame(
+        [(f"u{i}", "hot.example.com", 0.0, i) for i in range(100)],
+        "url string, host string, priority double, emit_seq long",
+    )
+    sel, carry = politeness_dequeue(frontier, budget=5)
+    plan = _plan(sel)
+    assert plan.count("Window") >= 2, plan[:3000]
+    assert "_salt" in plan, plan[:3000]
+    # exactness: top-5 by emit_seq survive, the rest carry over
+    assert sorted(r["emit_seq"] for r in sel.collect()) == [0, 1, 2, 3, 4]
+    assert carry.count() == 95
