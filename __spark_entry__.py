@@ -731,6 +731,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.element_at("features", 2).cast("double"), 6).alias("feat1"),
         )
 
+    def meta_dates(spark, sf_dir):
+        """The fuzzy parse_date/iso_date kernel (helpers/dates.py:6-31
+        stand-in) over four wrapper styles websites use — runs the
+        REAL Arrow-batched UDF the parse stage's meta_date path uses."""
+        from memorious_spark.functions.dates import iso_date_udf
+
+        ship_package(spark)
+        docs = _docs(spark, sf_dir)
+        raw = (
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("2024-01-"),
+                            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit("[2023-06-"),
+                           F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+                           F.lit("]")))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("Published on March "),
+                           (F.col("doc_id") % 28 + 1).cast("string"),
+                           F.lit(", 2021 by staff")))
+            .otherwise(F.lit("no date here"))
+        )
+        iso = iso_date_udf()
+        return docs.select(
+            "doc_id", raw.alias("raw"), iso(raw).alias("iso")
+        )
+
+    def media_decode_bmp(spark, sf_dir):
+        """REAL image decode: synthesize a solid-color 24-bit BMP per
+        doc, decode it with the pure-python BMP parser, and return
+        pixel statistics — exact SQL oracle because the color is
+        arithmetic in doc_id."""
+        import struct
+
+        import pandas as pd
+
+        from memorious_spark.operators.multimodal import extract_features
+
+        ship_package(spark)
+        W, H = 4, 2
+
+        def make_bmps(batches):
+            row_size = ((24 * W + 31) // 32) * 4
+            for pdf in batches:
+                payloads = []
+                for d in pdf["doc_id"]:
+                    r, g, b = int(d) % 256, (int(d) * 7) % 256, (int(d) * 13) % 256
+                    px = bytes([b, g, r]) * W + b"\x00" * (row_size - 3 * W)
+                    data = px * H
+                    header = b"BM" + struct.pack(
+                        "<IHHI", 54 + len(data), 0, 0, 54
+                    ) + struct.pack("<IiiHHIIiiII", 40, W, H, 1, 24, 0,
+                                    len(data), 2835, 2835, 0, 0)
+                    payloads.append(header + data)
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        docs = _docs(spark, sf_dir).select("doc_id")
+        bmps = docs.mapInPandas(make_bmps, "doc_id long, payload binary")
+        feats = extract_features(bmps)
+        f = lambda i: F.round(F.element_at("features", i).cast("double"), 6)
+        return feats.select(
+            "doc_id",
+            f(1).alias("w_n"), f(2).alias("h_n"),
+            f(3).alias("mean_r"), f(4).alias("mean_g"), f(5).alias("mean_b"),
+            f(8).alias("decoded"),
+        )
+
     def extract_archive(spark, sf_dir):
         import io
         import zipfile
@@ -808,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "doc_fingerprint": doc_fingerprint,
         "media_features": media_features,
+        "media_decode_bmp": media_decode_bmp,
+        "meta_dates": meta_dates,
         "extract_archive": extract_archive,
         "clean_html_op": clean_html_op,
     }
@@ -1118,6 +1189,34 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    round(CAST(('0x' || substr(md5(text), 1, 2)) AS INT) / 255.0, 6) AS feat0,
                    round(CAST(('0x' || substr(md5(text), 3, 2)) AS INT) / 255.0, 6) AS feat1
+            FROM documents
+        """,
+        "media_decode_bmp": """
+            SELECT doc_id,
+                   round(4 / 4096.0, 6) AS w_n,
+                   round(2 / 4096.0, 6) AS h_n,
+                   round((doc_id % 256) / 255.0, 6) AS mean_r,
+                   round(((doc_id * 7) % 256) / 255.0, 6) AS mean_g,
+                   round(((doc_id * 13) % 256) / 255.0, 6) AS mean_b,
+                   1.0 AS decoded
+            FROM documents
+        """,
+        "meta_dates": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                        WHEN doc_id % 4 = 1
+                        THEN '[2023-06-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ']'
+                        WHEN doc_id % 4 = 2
+                        THEN 'Published on March ' || (doc_id % 28 + 1) || ', 2021 by staff'
+                        ELSE 'no date here' END AS raw,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00'
+                        WHEN doc_id % 4 = 1
+                        THEN '2023-06-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00'
+                        WHEN doc_id % 4 = 2
+                        THEN '2021-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00'
+                        ELSE NULL END AS iso
             FROM documents
         """,
         "extract_archive": """

@@ -288,14 +288,21 @@ def clean_html(text: str | None, remove_paths: list[str]) -> str | None:
 
 
 def extract_meta(
-    root: Element | None, meta_paths: dict[str, list[str]]
+    root: Element | None,
+    meta_paths: dict[str, list[str]],
+    date_keys: tuple[str, ...] | frozenset = (),
 ) -> dict[str, str]:
-    """First-matching-path text per meta key (parse.py:72-92 shape).
-
-    Each value in ``meta_paths`` is a list of ElementPath specs tried
-    in order; the first spec yielding a non-empty collapsed string
-    wins. ``/@attr`` suffixes select attribute values.
+    """Per-key meta extraction (parse.py:72-92, faithfully): each
+    xpath in the list takes its FIRST matching element; a later xpath
+    whose value is non-None overwrites an earlier one (the reference
+    breaks only the element loop, not the xpath loop). ``/@attr``
+    suffixes select attribute values. Keys in ``date_keys`` (the
+    YAML ``meta_date`` block) run through ``iso_date`` before
+    assignment — an unparseable date leaves the key unset
+    (parse.py:86-89).
     """
+    from memorious_spark.functions.dates import py_iso_date
+
     out: dict[str, str] = {}
     if root is None:
         return out
@@ -304,11 +311,11 @@ def extract_meta(
             for hit in _findall(root, path):
                 value = hit if isinstance(hit, str) else _text_content(hit)
                 value = collapse_spaces(value)
+                if key in date_keys:
+                    value = py_iso_date(value)
                 if value:
                     out[key] = value
-                    break
-            if key in out:
-                break
+                break  # first element per xpath, like the reference
     return out
 
 

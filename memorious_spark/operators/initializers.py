@@ -34,14 +34,32 @@ def enumerate_items(spark: SparkSession, items: list) -> DataFrame:
 
 
 def sequence(
-    spark: SparkSession, start: int = 1, stop: int | None = None, step: int = 1
+    spark: SparkSession,
+    start: int = 1,
+    stop: int | None = None,
+    step: int = 1,
+    tag: str | None = None,
+    store=None,
 ) -> DataFrame:
     """Number generator (initializers.py:35-75). The reference's
-    one-by-one delayed recursion collapses into ``spark.range``; the
-    cross-run `tag` once-only becomes an anti-join vs the seen set
-    (operators.seen.dedup_new)."""
+    one-by-one delayed recursion collapses into ``spark.range``.
+
+    ``tag`` + ``store`` (a RunStore) give the cross-run once-only
+    semantics of initializers.py:49-65: each emitted number is tagged
+    ``<tag>:<number>`` crawler-scoped; numbers already tagged by an
+    earlier run are skipped. The fresh batch is materialized BEFORE
+    the tag append (the anti-join snapshot must not see its own
+    write)."""
     assert stop is not None, "stop required in batch mode"
-    return spark.range(start, stop, step).select(F.col("id").alias("number"))
+    out = spark.range(start, stop, step).select(F.col("id").alias("number"))
+    if tag is not None and store is not None:
+        existing = store.read_shared(spark, f"seq_{tag}", "number long")
+        if existing is not None:
+            out = out.join(existing.hint("shuffle_hash"), "number", "left_anti")
+        out = out.persist()
+        out.count()
+        store.append_shared(f"seq_{tag}", out)
+    return out
 
 
 def dates(

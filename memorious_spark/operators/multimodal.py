@@ -3,12 +3,13 @@ columns with typed metadata.
 
 The Spark-side machinery (schemas, Arrow batch shapes, mapInPandas
 partition flow, deterministic partitioning by content hash) is real
-and tested; the codec work itself is STUBBED — the decode libraries
-(Pillow/ffmpeg/librosa) are not in this container. ``decode_image``
-raises NotImplementedError by design; ``fake_image_features`` is the
-deterministic stand-in that exercises the identical plumbing
-(bytes → fixed-length float vector) so swapping in a real decoder is
-a one-function change.
+and tested. ``decode_image`` REALLY decodes the headerful
+uncompressed formats (BMP BI_RGB, PPM P6) in pure python/numpy —
+feature extraction over those is genuine pixel math; compressed
+codecs (JPEG/PNG/audio/video) still raise NotImplementedError because
+their libraries (Pillow/ffmpeg/librosa) are not in this container,
+and ``fake_image_features`` stands in so mixed corpora keep flowing
+through the one Arrow-batched UDF.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ __all__ = [
     "attach_media_meta",
     "decode_image",
     "fake_image_features",
+    "image_features",
     "extract_features",
 ]
 
@@ -45,15 +47,66 @@ def attach_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real image decode — STUB: no imaging library in this container.
+    """Pure-python image decode → HWC uint8 RGB.
 
-    The production implementation decodes ``payload`` to HWC uint8;
-    everything downstream (feature UDF signature, batch shape,
-    schema) is already wired for it.
+    Real decoders for the two headerful uncompressed formats parseable
+    without an imaging library:
+    - BMP (BI_RGB 24/32-bit, bottom-up or top-down rows, 4-byte row
+      padding),
+    - PPM binary (P6, maxval 255).
+    Compressed formats (JPEG/PNG/…) still raise — their codecs are not
+    in this container; the mapInPandas plumbing downstream is format-
+    agnostic, so a library decoder slots into this one function.
     """
+    import struct
+
+    buf = bytes(payload)
+    if buf[:2] == b"BM":
+        data_off = struct.unpack_from("<I", buf, 10)[0]
+        width, height = struct.unpack_from("<ii", buf, 18)
+        bpp = struct.unpack_from("<H", buf, 28)[0]
+        compression = struct.unpack_from("<I", buf, 30)[0]
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError(
+                f"BMP variant not supported: bpp={bpp} compression={compression}"
+            )
+        top_down = height < 0
+        height = abs(height)
+        nchan = bpp // 8
+        row_size = ((bpp * width + 31) // 32) * 4
+        rows = []
+        for r in range(height):
+            off = data_off + r * row_size
+            row = np.frombuffer(buf, dtype=np.uint8, count=width * nchan, offset=off)
+            # BGR(A) → RGB
+            rows.append(row.reshape(width, nchan)[:, :3][:, ::-1])
+        img = np.stack(rows)
+        return img if top_down else img[::-1]
+    if buf[:2] == b"P6":
+        # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+        parts, i, vals = [], 2, []
+        while len(vals) < 3:
+            while i < len(buf) and buf[i : i + 1].isspace():
+                i += 1
+            if buf[i : i + 1] == b"#":  # comment line
+                i = buf.index(b"\n", i) + 1
+                continue
+            j = i
+            while j < len(buf) and not buf[j : j + 1].isspace():
+                j += 1
+            vals.append(int(buf[i:j]))
+            i = j
+        i += 1  # the single whitespace after maxval
+        width, height, maxval = vals
+        if maxval != 255:
+            raise NotImplementedError("PPM maxval != 255")
+        return (
+            np.frombuffer(buf, dtype=np.uint8, count=width * height * 3, offset=i)
+            .reshape(height, width, 3)
+            .copy()
+        )
     raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; use fake_image_features for plumbing tests"
+        "only BMP (BI_RGB) and PPM (P6) decode without an imaging library"
     )
 
 
@@ -64,6 +117,36 @@ def fake_image_features(payload: bytes | None) -> list[float]:
         return [0.0] * _FEATURE_DIM
     digest = hashlib.md5(bytes(payload)).digest()
     return [digest[i] / 255.0 for i in range(_FEATURE_DIM)]
+
+
+def image_features(payload: bytes | None) -> list[float]:
+    """Feature vector per media row: REAL pixel statistics when the
+    payload decodes (BMP/PPM via :func:`decode_image`), the md5
+    stand-in otherwise — so mixed corpora flow through one UDF.
+
+    Decoded features: [w/4096, h/4096, mean_r/255, mean_g/255,
+    mean_b/255, std/255, aspect, 1.0] (last element flags a real
+    decode)."""
+    if payload is None:
+        return [0.0] * _FEATURE_DIM
+    try:
+        img = decode_image(payload)
+    except Exception:
+        # unsupported format OR magic-byte coincidence on non-image
+        # bytes (struct/index errors) → the md5 stand-in path
+        return fake_image_features(payload)
+    h, w = img.shape[0], img.shape[1]
+    flat = img.astype(np.float64)
+    return [
+        w / 4096.0,
+        h / 4096.0,
+        float(flat[:, :, 0].mean()) / 255.0,
+        float(flat[:, :, 1].mean()) / 255.0,
+        float(flat[:, :, 2].mean()) / 255.0,
+        float(flat.std()) / 255.0,
+        w / h,
+        1.0,
+    ]
 
 
 def extract_features(
@@ -81,7 +164,7 @@ def extract_features(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = pdf[payload_col].map(fake_image_features)
+            pdf[out_col] = pdf[payload_col].map(image_features)
             yield pdf
 
     return df.mapInPandas(gen, out_schema)

@@ -34,6 +34,9 @@ class ParseConfig:
     parse.py:95-102, include_paths/link titles parse.py:36-44)."""
 
     meta: dict[str, list[str]] = field(default_factory=dict)
+    # keys of `meta` that came from the YAML meta_date block — their
+    # values run through iso_date (parse.py:86-87, helpers/dates.py)
+    meta_dates: tuple[str, ...] = ()
     properties: dict[str, str] = field(default_factory=dict)
     include_paths: tuple[str, ...] | None = None
     link_titles: bool = True
@@ -64,6 +67,7 @@ def parse_stage(fetched: DataFrame, config: ParseConfig | None = None) -> DataFr
     """
     config = config or ParseConfig()
     meta_paths = dict(config.meta)
+    date_keys = tuple(config.meta_dates)
     properties = dict(config.properties)
     include = list(config.include_paths) if config.include_paths else None
     link_titles = config.link_titles
@@ -93,7 +97,9 @@ def parse_stage(fetched: DataFrame, config: ParseConfig | None = None) -> DataFr
                 titles.append(htmlkit.page_title(root))
                 texts.append(text)
                 metas.append(
-                    htmlkit.extract_meta(root, meta_paths) if meta_paths else None
+                    htmlkit.extract_meta(root, meta_paths, date_keys)
+                    if meta_paths
+                    else None
                 )
                 props.append(
                     htmlkit.extract_properties(root, properties)

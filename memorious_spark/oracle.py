@@ -97,7 +97,9 @@ def run_oracle(config: CrawlConfig, corpus: dict[str, dict]) -> OracleResult:
             else None
         )
         title = htmlkit.page_title(root)
-        meta = htmlkit.extract_meta(root, config.parse.meta)
+        meta = htmlkit.extract_meta(
+            root, config.parse.meta, tuple(config.parse.meta_dates)
+        )
         props = htmlkit.extract_properties(root, config.parse.properties)
         if store_rule(gate_row):
             res.stored.append(

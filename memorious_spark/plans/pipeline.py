@@ -127,10 +127,13 @@ def load_config(spec: dict) -> CrawlConfig:
                 k: (v if isinstance(v, list) else [v])
                 for k, v in (params.get("meta") or {}).items()
             }
+            meta_dates = []
             for k, v in (params.get("meta_date") or {}).items():
                 meta.setdefault(k, v if isinstance(v, list) else [v])
+                meta_dates.append(k)
             parse_cfg = ParseConfig(
                 meta=meta,
+                meta_dates=tuple(meta_dates),
                 properties=dict(params.get("properties") or {}),
                 include_paths=(
                     tuple(params["include_paths"])

@@ -108,11 +108,21 @@ class RunStore:
     def read_shared(
         self, spark: SparkSession, table: str, schema: str | None = None
     ) -> DataFrame | None:
+        """Reads a SNAPSHOT: the file list is pinned at call time, so a
+        later append to the same directory cannot leak into this
+        DataFrame — appending to a path invalidates any cache built
+        over it and the recompute would otherwise re-list the dir and
+        see the writer's own output (observed: a sequence-tag anti-join
+        that erased its own batch). Iceberg gives this for free via
+        snapshot ids; pinned file lists are the parquet-dir analogue."""
         p = self.shared_path(table)
-        if not p.is_dir() or not any(p.iterdir()):
+        if not p.is_dir():
+            return None
+        files = sorted(str(f) for f in p.glob("*.parquet"))
+        if not files:
             return None
         reader = spark.read.schema(schema) if schema else spark.read
-        return reader.parquet(str(p))
+        return reader.parquet(*files)
 
     def append_shared(self, table: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(str(self.shared_path(table)))

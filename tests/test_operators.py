@@ -209,6 +209,97 @@ def test_embedding_lsh_pairs_match_exact_on_near_dups(spark):
     assert lsh == {(0, 1)}
 
 
+def test_bmp_and_ppm_decode_real_pixels():
+    import struct
+
+    import numpy as np
+
+    from memorious_spark.operators.multimodal import decode_image, image_features
+
+    W, H = 3, 2
+    row_size = ((24 * W + 31) // 32) * 4
+    px = bytes([10, 20, 30]) * W + b"\x00" * (row_size - 3 * W)  # BGR
+    data = px * H
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, W, H, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0) + data
+    )
+    img = decode_image(bmp)
+    assert img.shape == (H, W, 3)
+    assert (img[0, 0] == np.array([30, 20, 10])).all()  # RGB order
+    feats = image_features(bmp)
+    assert feats[7] == 1.0 and abs(feats[2] - 30 / 255) < 1e-9
+
+    ppm = b"P6\n3 2\n255\n" + bytes([1, 2, 3]) * 6
+    img2 = decode_image(ppm)
+    assert img2.shape == (2, 3, 3) and (img2[1, 2] == np.array([1, 2, 3])).all()
+
+    # non-image bytes fall back to the md5 stand-in, never crash
+    feats3 = image_features(b"BMnot really a bitmap")
+    assert len(feats3) == 8 and feats3[7] != 1.0
+
+
+def test_sequence_tag_once_only(spark, tmp_path):
+    from memorious_spark.operators.initializers import sequence
+    from memorious_spark.plans.storage import RunStore
+
+    store = RunStore(tmp_path, "seqc", "r1")
+    first = sequence(spark, 0, 10, 1, tag="pages", store=store)
+    assert sorted(r["number"] for r in first.collect()) == list(range(10))
+    # overlapping second run only yields the unseen numbers
+    second = sequence(spark, 5, 15, 1, tag="pages", store=store)
+    assert sorted(r["number"] for r in second.collect()) == list(range(10, 15))
+
+
+def test_ftm_store_merges_fragments(spark, tmp_path):
+    from memorious_spark.operators.sinks import ftm_store
+    from memorious_spark.plans.storage import RunStore
+
+    store = RunStore(tmp_path, "ftmc", "r1")
+    e1 = spark.createDataFrame(
+        [("e1", "Person", "Alice"), ("e2", "Company", "Acme")],
+        "id string, schema string, name string",
+    )
+    out1 = ftm_store(spark, store, e1, "ds", now_ts="2024-01-01 00:00:00")
+    assert out1.count() == 2
+    # same id re-put updates (not duplicates); new fragment adds a row
+    e2 = spark.createDataFrame(
+        [("e1", "Person", "Alice B."), ("e1", "Person", "addr")],
+        "id string, schema string, name string",
+    ).withColumn(
+        "fragment",
+        F.when(F.col("name") == "addr", "f2"),
+    )
+    out2 = ftm_store(spark, store, e2, "ds", now_ts="2024-02-01 00:00:00")
+    rows = {(r["id"], r["fragment"]): r for r in out2.collect()}
+    assert len(rows) == 3
+    assert rows[("e1", "")]["name"] == "Alice B."
+    assert str(rows[("e1", "")]["__first_seen"]) == "2024-01-01 00:00:00"
+    assert str(rows[("e1", "f2")]["__first_seen"]) == "2024-02-01 00:00:00"
+
+
+def test_meta_date_normalizes_in_parse(spark):
+    from memorious_spark.plans.pipeline import load_config
+
+    cfg = load_config({
+        "name": "md",
+        "pipeline": {
+            "init": {"method": "seed", "params": {"urls": ["https://a/"]},
+                     "handle": {"pass": "parse"}},
+            "parse": {"method": "parse",
+                      "params": {"meta_date": {"published": ".//time"}}},
+        },
+        "init": "init",
+    })
+    assert cfg.parse.meta_dates == ("published",)
+    from memorious_spark.functions.htmlkit import extract_meta, parse_html
+
+    root = parse_html("<html><body><time>[2024-02-03]</time></body></html>")
+    meta = extract_meta(root, dict(cfg.parse.meta), cfg.parse.meta_dates)
+    assert meta["published"] == "2024-02-03T00:00:00"
+
+
 def test_make_id_is_sha1_of_make_key(spark):
     import hashlib
 
