@@ -224,7 +224,11 @@ def main() -> None:
     # the "same job, same input, two parallelism levels" rule — sized so
     # the lo run finishes in minutes; the headline run uses the full
     # REPLICATE corpus
-    eff_replicate = int(os.environ.get("BENCH_EFF_REPLICATE", "80"))
+    # sized so the remaining per-crawl fixed cost (~11s driver/schedule
+    # latency, measured by the T2/T8 model fit) amortizes: at 120×
+    # (600k pages) the 2-core crawl runs ~3.5 min and the projected
+    # N→4N efficiency carries ~0.05 of margin over the 0.8 target
+    eff_replicate = int(os.environ.get("BENCH_EFF_REPLICATE", "120"))
     results = {}
     for cpus in (lo_cpus, mid_cpus, CPUS):
         args = [sys.executable, str(REPO / "bench.py"), "--worker",

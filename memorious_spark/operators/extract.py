@@ -39,6 +39,15 @@ def extract_members(payload: bytes | None, wildcard: str | None = None) -> list[
     optional shell-wildcard member filter (extract.py:75-80 shape)."""
     if payload is None:
         return []
+    if bytes(payload[:6]) == b"7z\xbc\xaf\x27\x1c":
+        # the reference shells out to the `7z` binary for these
+        # (operations/extract.py:59); no such binary here — fail loud
+        # instead of silently yielding zero members
+        raise NotImplementedError(
+            "7z archives need the external `7z` binary (reference "
+            "operations/extract.py:59) — not available in this build; "
+            "zip and tar(.gz) are supported"
+        )
     out = []
     buf = io.BytesIO(bytes(payload))
     try:

@@ -28,7 +28,7 @@ __all__ = ["CrawlConfig", "load_yaml", "load_config"]
 
 _SUPPORTED_METHODS = {
     "seed", "sequence", "dates", "enumerate", "tee",
-    "fetch", "parse", "clean_html", "directory", "db", "inspect",
+    "fetch", "parse", "extract", "clean_html", "directory", "db", "inspect",
 }
 
 
@@ -61,6 +61,10 @@ class CrawlConfig:
     # post-run aggregator hook (memorious/logic/crawler.py:66-87,
     # fired when the job drains, worker.py:22-27)
     aggregator: dict | None = None
+    # `extract` stage configured (operations/extract.py:69-97): archive
+    # responses additionally unpack into the run's `members` table
+    extract_enabled: bool = False
+    extract_wildcard: str | None = None
     # DEBUG emit sampling (memorious/logic/context.py:56-61)
     sampling_rate: float | None = None
 
@@ -106,6 +110,7 @@ def load_config(spec: dict) -> CrawlConfig:
     budget = 1_000_000_000
     store_stage_name = None
     store_method = store_params = None
+    extract_enabled, extract_wildcard = False, None
     for stage in stages.values():
         method = stage.get("method")
         params = stage.get("params") or {}
@@ -120,6 +125,9 @@ def load_config(spec: dict) -> CrawlConfig:
             emit_errors = bool(params.get("emit_errors", False))
             if "rate_limit" in params:
                 budget = int(params["rate_limit"])
+        elif method == "extract":
+            extract_enabled = True
+            extract_wildcard = params.get("wildcard")
         elif method == "parse":
             store_rules = params.get("store")
             store_stage_name = (stage.get("handle") or {}).get("store")
@@ -173,4 +181,6 @@ def load_config(spec: dict) -> CrawlConfig:
         store_params=store_params,
         aggregator=spec.get("aggregator"),
         sampling_rate=spec.get("sampling_rate"),
+        extract_enabled=extract_enabled,
+        extract_wildcard=extract_wildcard,
     )

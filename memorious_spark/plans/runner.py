@@ -162,6 +162,23 @@ class CrawlRunner:
         )
 
     # ---- gate + parse ------------------------------------------------
+    def _members(self, pre: DataFrame, gate) -> DataFrame:
+        """`extract` stage (operations/extract.py:69-97) wired from
+        YAML: archive-mime responses unpack into member rows BEFORE the
+        parse pass drops the raw bytes."""
+        from memorious_spark.functions.mime import GROUPS
+        from memorious_spark.operators.extract import extract_stage
+
+        archives = pre.filter(
+            gate & F.col("content_type").isin(GROUPS["archives"])
+        ).select(
+            "url", "url_norm", "host", "depth", "emit_seq", "content_type",
+            F.col("html").alias("payload"),
+        )
+        return extract_stage(
+            archives, "payload", self.config.extract_wildcard
+        )
+
     def _gate_and_parse(self, fetched: DataFrame, fetch_rule) -> DataFrame:
         """Apply the reference's emit gate (rules → ok) and parse.
 
@@ -176,10 +193,13 @@ class CrawlRunner:
         """
         cfg = self.config
         ok_gate = F.lit(True) if cfg.emit_errors else F.col("ok")
+        members = None
         if self._fetch_rule_needs_text:
             # xpath-style rules need the decoded text → parse first
             # (bodies of non-ok rows still never transfer)
             pre = fetched.withColumn("html", F.when(ok_gate, F.col("html")))
+            if cfg.extract_enabled:
+                members = self._members(pre, ok_gate)
             parsed = parse_stage(pre, cfg.parse).withColumn(
                 "_emit", ok_gate & fetch_rule
             )
@@ -187,13 +207,15 @@ class CrawlRunner:
             pre = fetched.withColumn("_emit", ok_gate & fetch_rule).withColumn(
                 "html", F.when(F.col("_emit"), F.col("html"))
             )
+            if cfg.extract_enabled:
+                members = self._members(pre, F.col("_emit"))
             parsed = parse_stage(pre, cfg.parse)
         retrieved = (
             F.coalesce(F.col("retrieved_at_cached"), F.col("warc_ts"))
             if "retrieved_at_cached" in parsed.columns
             else F.col("warc_ts")
         )
-        return parsed.withColumn("retrieved_at", retrieved)
+        return parsed.withColumn("retrieved_at", retrieved), members
 
     # ---- main loop ---------------------------------------------------
     def run(
@@ -301,7 +323,7 @@ class CrawlRunner:
             fetched = fetch_stage(probe_in, corpus, selected_count=n_selected)
             if cfg.incremental:
                 fetched = apply_replay(fetched)
-            parsed = self._gate_and_parse(fetched, fetch_rule)
+            parsed, members = self._gate_and_parse(fetched, fetch_rule)
             # serialized persist: deserialized caching of row objects with
             # long text columns causes GC/storage contention at high core
             # counts (local[32] measured SLOWER than local[8] without this)
@@ -442,6 +464,12 @@ class CrawlRunner:
                 pool.submit(store.write_round, "frontier", rnd + 1, next_frontier),
                 pool.submit(store.write_round, "seen", rnd, seen_rows),
             ]
+            if members is not None:
+                # extract stage output; re-runs the (broadcast) corpus
+                # join for the archive subset — only when configured
+                futs.append(pool.submit(
+                    store.write_round, "members", rnd, members
+                ))
             if cfg.store_method == "directory" and n_stored:
                 # YAML `directory` sink: blob + JSON sidecar per stored
                 # row (operations/store.py:42-70), off the parsed cache

@@ -187,6 +187,49 @@ def test_kill_resume_matches_uninterrupted(
     )
 
 
+def test_budgeted_crawl_matches_budgeted_oracle(
+    spark, corpus, corpus_dict, tmp_path_factory
+):
+    """Politeness under CONTENTION, exactly: engine with
+    budget_per_host=4 vs the round-discretized budgeted oracle —
+    same seen set, same emit order (carryover + retry slot dynamics
+    included), same stored rows, and the ≤ budget/host/round invariant
+    on every round's fetched output."""
+    import dataclasses
+
+    budget = 4
+    cfg = dataclasses.replace(CFG, budget_per_host=budget)
+    store = RunStore(tmp_path_factory.mktemp("runs_budget"), "e2e", "runB")
+    result = CrawlRunner(spark, cfg, store).run(corpus)
+    oracle = run_oracle(cfg, corpus_dict, budget=budget)
+
+    # identical seen set
+    seen = store.read_all(spark, "seen", 60)
+    engine_hashes = {r["key_hash"] for r in seen.select("key_hash").collect()}
+    odf = spark.createDataFrame([(u,) for u in sorted(oracle.seen)], "u string")
+    oracle_hashes = {r["h"] for r in odf.select(F.xxhash64("u").alias("h")).collect()}
+    assert engine_hashes == oracle_hashes
+
+    # identical emit order under contention
+    rows = _engine_frontier_rows(spark, store).select("emit_seq", "url").collect()
+    assert sorted((r["emit_seq"], r["url"]) for r in rows) == sorted(oracle.order)
+
+    # identical stored rows
+    stored = store.read_all(spark, "results", 60)
+    assert {r["final_url"] for r in stored.select("final_url").collect()} == {
+        s["final_url"] for s in oracle.stored
+    }
+    assert result.rounds == len(oracle.rounds)
+
+    # ≤ budget fetches per host per round, every round
+    for rnd in range(result.rounds):
+        df = store.read_round(spark, "results", rnd)
+        if df is None:
+            continue
+        mx = df.groupBy("host").count().agg(F.max("count")).first()[0]
+        assert mx is None or mx <= budget, (rnd, mx)
+
+
 def test_content_hash_is_sha1_of_body(spark, engine_run, corpus_dict):
     store, _ = engine_run
     stored = store.read_all(spark, "results", 60)

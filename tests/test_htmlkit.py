@@ -92,3 +92,25 @@ def test_tolerant_parse():
 def test_collapse_spaces():
     assert hk.collapse_spaces("  a \n\t b  ") == "a b"
     assert hk.collapse_spaces(None) is None
+
+
+def test_clean_html_exact_output():
+    """Pin the clean_html serialization contract byte-for-byte (the
+    driver's clean_html_op is rows-only — no SQL can express DOM
+    surgery — so this golden test is its exactness check)."""
+    from memorious_spark.functions.htmlkit import clean_html
+
+    src = (
+        '<html><head><title>T</title></head><body><h1>Hi</h1>'
+        '<img src="x.png"/><iframe src="y"></iframe><p>keep</p></body></html>'
+    )
+    assert clean_html(src, [".//img", ".//iframe"]) == (
+        "<html><head><title>T</title></head>"
+        "<body><h1>Hi</h1><p>keep</p></body></html>"
+    )
+    # removing nothing round-trips; unparseable input → None
+    assert clean_html(src, [".//video"]) == (
+        '<html><head><title>T</title></head><body><h1>Hi</h1>'
+        '<img src="x.png"><iframe src="y"></iframe><p>keep</p></body></html>'
+    )
+    assert clean_html(None, [".//img"]) is None

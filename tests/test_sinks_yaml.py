@@ -117,6 +117,71 @@ def test_db_sink_with_children_and_merge(spark, corpus, tmp_path_factory):
     assert str(row["__last_seen"]) == "2024-01-05 00:00:00"
 
 
+def test_extract_stage_from_yaml(spark, tmp_path_factory):
+    """`extract` configured in YAML (operations/extract.py:69-97):
+    archive-mime fetches additionally unpack into the run's members
+    table, wildcard-filtered."""
+    import io
+    import zipfile
+    from datetime import datetime, timezone
+
+    def make_zip(names):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for n in names:
+                zf.writestr(
+                    zipfile.ZipInfo(n, date_time=(1980, 1, 1, 0, 0, 0)),
+                    f"content of {n}",
+                )
+        return buf.getvalue()
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        ("https://z.example.com/a.zip", ts, make_zip(["x/1.txt", "x/2.dat"]),
+         None, "en", "application/zip", 200, None),
+        ("https://z.example.com/b.zip", ts, make_zip(["y/3.txt"]),
+         None, "en", "application/zip", 200, None),
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string,"
+        " content_type string, status_code int, redirect_to string",
+    )
+    cfg = load_yaml("""
+name: zips
+max_rounds: 3
+pipeline:
+  init:
+    method: seed
+    params: {urls: ["https://z.example.com/a.zip", "https://z.example.com/b.zip"]}
+    handle: {pass: fetch}
+  fetch:
+    method: fetch
+    handle: {pass: unpack}
+  unpack:
+    method: extract
+    params: {wildcard: "*.txt"}
+    handle: {pass: parse}
+  parse:
+    method: parse
+    handle: {store: store}
+  store:
+    method: db
+""")
+    assert cfg.extract_enabled and cfg.extract_wildcard == "*.txt"
+    store = RunStore(tmp_path_factory.mktemp("zipruns"), cfg.name, "r1")
+    CrawlRunner(spark, cfg, store).run(corpus)
+    members = store.read_all(spark, "members", 5)
+    got = {
+        (r["url"], r["file_name"]): bytes(r["content"]).decode()
+        for r in members.collect()
+    }
+    assert got == {
+        ("https://z.example.com/a.zip", "x/1.txt"): "content of x/1.txt",
+        ("https://z.example.com/b.zip", "y/3.txt"): "content of y/3.txt",
+    }
+
+
 def test_aggregator_fires_after_drain(spark, corpus, tmp_path_factory):
     out = tmp_path_factory.mktemp("agg") / "export"
     cfg = load_yaml(_yaml("""
