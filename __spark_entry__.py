@@ -503,6 +503,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = skip_unchanged(stored, inc_tags, now_ts="2024-06-01 00:00:00")
         return out.select("doc_id", "url", "content_hash")
 
+    def tags_kv(spark, sf_dir):
+        """set_tag / get_tag / check_tag as batch joins (context.py:
+        114-125): run 1 tags even doc keys, run 2 overwrites multiples
+        of 3 — membership and latest-value semantics checked on every
+        key, using the REAL operators over the shared tags table."""
+        import tempfile
+
+        from memorious_spark.operators import tags as T
+        from memorious_spark.plans.storage import RunStore
+
+        docs = _docs(spark, sf_dir)
+        keyed = docs.select(
+            "doc_id",
+            F.concat(F.lit("u"), F.col("doc_id")).alias("key"),
+        )
+        store = RunStore(tempfile.mkdtemp(prefix="tags_"), "tg", "r1")
+        T.set_tags(
+            store,
+            keyed.filter(F.col("doc_id") % 2 == 0).withColumn(
+                "val", F.concat(F.lit("v1-"), F.col("doc_id"))
+            ),
+            "tg", "tag", value_col="val", run_id="r1",
+            now_ts="2024-01-01 00:00:00",
+        )
+        T.set_tags(
+            store,
+            keyed.filter(F.col("doc_id") % 3 == 0).withColumn(
+                "val", F.concat(F.lit("v2-"), F.col("doc_id"))
+            ),
+            "tg", "tag", value_col="val", run_id="r2",
+            now_ts="2024-02-01 00:00:00",
+        )
+        out = T.check_tags(spark, store, keyed, "tg", "tag")
+        out = T.get_tags(spark, store, out, "tg", "tag")
+        return out.select("doc_id", "key", "tagged", "tag_value")
+
     def db_nested_upsert(spark, sf_dir):
         """The db sink's recursive upsert (operations/db.py:25-54) over
         two runs: run 1 loads the even doc_ids, run 2 upserts all rows
@@ -854,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_skip": incremental_skip,
         "http_cache_replay": http_cache_replay,
         "incremental_second_run": incremental_second_run,
+        "tags_kv": tags_kv,
         "db_nested_upsert": db_nested_upsert,
         "merge_first_last_seen": merge_first_last_seen,
         "seed_gen": seed_gen,
@@ -1018,6 +1055,14 @@ def oracle_sql() -> dict[str, str]:
                      (CASE WHEN doc_id % 7 = 3 THEN 'v2' ELSE 'v1' END) AS content_hash
             FROM documents
             WHERE doc_id % 7 = 3 OR doc_id % 11 = 5 OR doc_id % 13 = 0
+        """,
+        "tags_kv": """
+            SELECT doc_id, 'u' || doc_id AS key,
+                   (doc_id % 2 = 0 OR doc_id % 3 = 0) AS tagged,
+                   CASE WHEN doc_id % 3 = 0 THEN 'v2-' || doc_id
+                        WHEN doc_id % 2 = 0 THEN 'v1-' || doc_id
+                        END AS tag_value
+            FROM documents
         """,
         "db_nested_upsert": """
             SELECT 'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id AS url,

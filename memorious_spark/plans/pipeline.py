@@ -65,6 +65,9 @@ class CrawlConfig:
     # responses additionally unpack into the run's `members` table
     extract_enabled: bool = False
     extract_wildcard: str | None = None
+    # `inspect` debug stage (operations/debug.py:4-6): per-round sample
+    # logging in the runner
+    inspect_enabled: bool = False
     # DEBUG emit sampling (memorious/logic/context.py:56-61)
     sampling_rate: float | None = None
 
@@ -111,6 +114,7 @@ def load_config(spec: dict) -> CrawlConfig:
     store_stage_name = None
     store_method = store_params = None
     extract_enabled, extract_wildcard = False, None
+    inspect_enabled = False
     for stage in stages.values():
         method = stage.get("method")
         params = stage.get("params") or {}
@@ -128,6 +132,8 @@ def load_config(spec: dict) -> CrawlConfig:
         elif method == "extract":
             extract_enabled = True
             extract_wildcard = params.get("wildcard")
+        elif method == "inspect":
+            inspect_enabled = True
         elif method == "parse":
             store_rules = params.get("store")
             store_stage_name = (stage.get("handle") or {}).get("store")
@@ -183,4 +189,5 @@ def load_config(spec: dict) -> CrawlConfig:
         sampling_rate=spec.get("sampling_rate"),
         extract_enabled=extract_enabled,
         extract_wildcard=extract_wildcard,
+        inspect_enabled=inspect_enabled,
     )

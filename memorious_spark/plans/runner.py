@@ -518,6 +518,14 @@ class CrawlRunner:
             ]
             store.write_round_local("metrics", rnd, metrics_rows)
 
+            if cfg.inspect_enabled:
+                # `inspect` debug stage (operations/debug.py:4-6):
+                # pretty-log a sample of this round's parsed rows
+                for r in parsed.select(
+                    "url", "status_code", "content_type", "title"
+                ).head(3):
+                    print(f"[inspect round={rnd}] {r.asDict()}", flush=True)
+
             totals["fetched"] += n_hits
             totals["stored"] += n_stored
             store.commit_round(
