@@ -230,6 +230,51 @@ def test_budgeted_crawl_matches_budgeted_oracle(
         assert mx is None or mx <= budget, (rnd, mx)
 
 
+def test_hot_host_budgeted_crawl_matches_oracle(spark, tmp_path_factory):
+    """Skew: every 2nd doc lives on ONE hot host (hot_mod=2). The
+    salted two-phase politeness must still produce the exact budgeted
+    semantics — same seen set and emit order as the sequential oracle —
+    while the mega-host queues through rounds."""
+    import dataclasses
+
+    from memorious_spark.functions.urls import py_norm
+
+    hot_docs = _docs(spark, 80)
+    corpus = build_corpus(spark, hot_docs, 80, hot_mod=2).persist()
+    corpus.count()
+    corpus_dict = {
+        py_norm(r["url"]): {
+            "html": bytes(r["html"]) if r["html"] is not None else None,
+            "content_type": r["content_type"],
+            "status_code": r["status_code"],
+            "redirect_to": r["redirect_to"],
+        }
+        for r in corpus.collect()
+    }
+    cfg = dataclasses.replace(
+        CFG,
+        seeds=tuple(seed_urls(3, hot_mod=2)),
+        budget_per_host=3,
+        max_rounds=60,
+    )
+    store = RunStore(tmp_path_factory.mktemp("runs_hot"), "e2e", "runH")
+    result = CrawlRunner(spark, cfg, store).run(corpus)
+    oracle = run_oracle(cfg, corpus_dict, budget=3)
+
+    seen = store.read_all(spark, "seen", 80)
+    engine_hashes = {r["key_hash"] for r in seen.select("key_hash").collect()}
+    odf = spark.createDataFrame([(u,) for u in sorted(oracle.seen)], "u string")
+    assert engine_hashes == {
+        r["h"] for r in odf.select(F.xxhash64("u").alias("h")).collect()
+    }
+    rows = _engine_frontier_rows(spark, store, max_round=80).select(
+        "emit_seq", "url"
+    ).collect()
+    assert sorted((r["emit_seq"], r["url"]) for r in rows) == sorted(oracle.order)
+    assert result.rounds == len(oracle.rounds) > 5  # the hot host queues
+    corpus.unpersist()
+
+
 def test_content_hash_is_sha1_of_body(spark, engine_run, corpus_dict):
     store, _ = engine_run
     stored = store.read_all(spark, "results", 60)
