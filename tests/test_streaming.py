@@ -47,3 +47,63 @@ def test_streaming_seed_ingest(spark, tmp_path):
     urls2 = [r["final_url"] for r in got2.select("final_url").collect()]
     assert sorted(urls2) == sorted(urls1 | {doc_url(5)})  # url 1 NOT refetched
     corpus.unpersist()
+
+
+def test_stateful_politeness_release(spark, tmp_path):
+    """applyInPandasWithState per-host budget: batch 1 parks the
+    overflow in keyed state, batch 2 releases it FIFO — the parked
+    queue of memorious/model/queue.py:30-37 living in Spark's state
+    store."""
+    from memorious_spark.streaming.stateful import politeness_release
+
+    src = tmp_path / "cands"
+    src.mkdir()
+    out = str(tmp_path / "released")
+    ckpt = str(tmp_path / "ck")
+
+    spark.createDataFrame(
+        [("h1", f"https://h1/doc/{i}", i) for i in range(5)]
+        + [("h2", "https://h2/doc/0", 100)],
+        "host string, url string, emit_seq long",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(
+        "host string, url string, emit_seq long"
+    ).parquet(str(src) + "/*")
+    q = (
+        politeness_release(stream, budget=2)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out)
+    released1 = sorted(
+        (r["host"], r["emit_seq"]) for r in got1.collect()
+    )
+    # ≤2 per host, FIFO: h1 released 0,1 (2,3,4 parked), h2 released 100
+    assert released1 == [("h1", 0), ("h1", 1), ("h2", 100)]
+
+    # a second drop wakes h1 (new url seq=50) → releases parked 2,3
+    # (FIFO beats the newcomer)
+    spark.createDataFrame(
+        [("h1", "https://h1/doc/50", 50)],
+        "host string, url string, emit_seq long",
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q2 = (
+        politeness_release(stream, budget=2)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = sorted(
+        (r["host"], r["emit_seq"]) for r in spark.read.parquet(out).collect()
+    )
+    assert got2 == [
+        ("h1", 0), ("h1", 1), ("h1", 2), ("h1", 3), ("h2", 100)
+    ]
