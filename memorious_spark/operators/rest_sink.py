@@ -1,0 +1,160 @@
+"""External-API sinks: the aleph_* upload pattern as a partition-
+parallel REST emitter with an injectable transport.
+
+The reference ops (memorious/operations/aleph.py:54-136,
+documentcloud.py:107-121) upload each stored row to a remote API with
+(a) a tag-cached skip for already-uploaded (foreign_id, content_hash)
+pairs, (b) bounded retries with exponential backoff on transient
+errors, (c) a global rate limit. Re-expressed Spark-side:
+
+- the skip cache is a batch ANTI-JOIN against the crawler's uploaded
+  table (the per-url ``get_tag`` probe of aleph.py:63-66, vectorized),
+- the upload loop runs in ``mapInPandas`` — executor-parallel, one
+  transport call per row, retry/backoff per row (aleph.py:83-102) —
+  and RETURNS an outcome row per attempt-set, so the upload results
+  land as a DataFrame (appendable to the uploaded table, completing
+  the set_tag half of the cycle),
+- the rate limit becomes rows-per-partition-batch pacing: the caller
+  bounds the input (politeness budget upstream) instead of sleeping
+  executors.
+
+There is no live Aleph in this environment, so the TRANSPORT is a
+parameter: any picklable ``send(meta: dict) -> dict`` (returning at
+least ``{"id": ...}``; raising ``TransientApiError`` triggers the
+retry path, any other exception fails the row). The tests inject a
+filesystem-backed fake; a real deployment injects an HTTP client.
+This is the pattern SURVEY §2.5 mapped the aleph ops to
+("foreachPartition REST client") — with mapInPandas so outcomes stay
+relational.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["TransientApiError", "rest_emit", "aleph_emit_documents"]
+
+UPLOAD_OUT_SCHEMA = (
+    "foreign_id string, content_hash string, remote_id string, "
+    "status string, attempts int"
+)
+
+
+class TransientApiError(Exception):
+    """Retryable API failure (AlephException.transient analogue)."""
+
+
+def rest_emit(
+    rows: DataFrame,
+    send: Callable[[dict], dict],
+    retries: int = 3,
+    backoff_base: float = 2.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> DataFrame:
+    """Emit every row to ``send`` with per-row retry/backoff
+    (aleph.py:83-102: ``2**attempt`` seconds between transient
+    failures); returns one outcome row per input row."""
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.to_dict("records"):
+                attempts = 0
+                status, remote_id = "error", None
+                while attempts <= retries:
+                    attempts += 1
+                    try:
+                        res = send(rec)
+                        remote_id = str(res.get("id"))
+                        status = "uploaded"
+                        break
+                    except TransientApiError:
+                        if attempts > retries:
+                            status = "transient_exhausted"
+                            break
+                        sleep(backoff_base ** attempts)
+                    except Exception:
+                        status = "error"
+                        break
+                out.append(
+                    dict(
+                        foreign_id=rec.get("foreign_id"),
+                        content_hash=rec.get("content_hash"),
+                        remote_id=remote_id,
+                        status=status,
+                        attempts=attempts,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "foreign_id", "content_hash", "remote_id", "status",
+                    "attempts",
+                ],
+            )
+
+    return rows.mapInPandas(emit, UPLOAD_OUT_SCHEMA)
+
+
+def aleph_emit_documents(
+    spark: SparkSession,
+    store,
+    results: DataFrame,
+    send: Callable[[dict], dict],
+    collection: str,
+    retries: int = 3,
+    sleep: Callable[[float], None] = time.sleep,
+) -> DataFrame:
+    """The aleph_emit_document cycle over a stored-results batch:
+
+    1. foreign_id = url (aleph.py:60-61), metadata projected from the
+       result row (title/mime/source_url, _create_meta_object shape);
+    2. rows whose (foreign_id, content_hash) already live in the
+       crawler's ``uploaded_<collection>`` table SKIP the API call
+       (the get_tag cache probe, aleph.py:63-70) — batch anti-join;
+    3. the rest upload via :func:`rest_emit`;
+    4. successful outcomes append to ``uploaded_<collection>`` (the
+       set_tag half, aleph.py:92-93).
+    Returns the outcome DataFrame (uploaded + skipped rows).
+    """
+    table = f"uploaded_{collection}"
+    meta_rows = results.select(
+        F.coalesce(F.col("url")).alias("foreign_id"),
+        "content_hash",
+        F.struct("title", "content_type", F.col("url").alias("source_url")).alias(
+            "_meta"
+        ),
+    ).filter(F.col("content_hash").isNotNull())
+
+    uploaded = store.read_shared(spark, table)
+    if uploaded is not None:
+        seen_keys = uploaded.select("foreign_id", "content_hash").distinct()
+        fresh = meta_rows.join(
+            seen_keys.hint("shuffle_hash"), ["foreign_id", "content_hash"],
+            "left_anti",
+        )
+        skipped = meta_rows.join(
+            seen_keys.hint("shuffle_hash"), ["foreign_id", "content_hash"],
+            "left_semi",
+        ).select(
+            "foreign_id", "content_hash",
+            F.lit(None).cast("string").alias("remote_id"),
+            F.lit("skipped_cached").alias("status"),
+            F.lit(0).alias("attempts"),
+        )
+    else:
+        fresh, skipped = meta_rows, None
+
+    outcomes = rest_emit(
+        fresh.select("foreign_id", "content_hash", "_meta.*"),
+        send, retries=retries, sleep=sleep,
+    ).persist()
+    ok = outcomes.filter(F.col("status") == "uploaded").select(
+        "foreign_id", "content_hash", "remote_id"
+    )
+    store.append_shared(table, ok)
+    return outcomes if skipped is None else outcomes.unionByName(skipped)

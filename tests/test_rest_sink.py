@@ -1,0 +1,106 @@
+"""aleph_* upload pattern: injectable-transport REST emitter with
+retry/backoff, tag-cached skip across runs, outcomes as a DataFrame
+(reference memorious/operations/aleph.py:54-102 semantics)."""
+
+import json
+import os
+
+from memorious_spark.operators.rest_sink import (
+    aleph_emit_documents, rest_emit,
+)
+from memorious_spark.plans.storage import RunStore
+
+_API_DIR = "/tmp/fake_aleph_api"
+
+
+def _make_fake_send(api_dir):
+    """Filesystem-backed fake Aleph, defined as a closure so cloudpickle
+    ships it by value to executors (the test module itself is not on
+    the executor path — exactly like a user's injected HTTP client).
+    Flaky ids succeed on the 2nd attempt; 'bad' ids hard-fail."""
+
+    def fake_send(rec):
+        from memorious_spark.operators.rest_sink import TransientApiError
+
+        os.makedirs(api_dir, exist_ok=True)
+        fid = (rec["foreign_id"] + "." + (rec.get("content_hash") or "")).replace("/", "_")
+        if "bad" in fid:
+            raise ValueError("permanent rejection")
+        if "flaky" in fid:
+            marker = os.path.join(api_dir, f"{fid}.attempt")
+            if not os.path.exists(marker):
+                with open(marker, "w") as fh:
+                    fh.write("1")
+                raise TransientApiError("try again")
+        with open(os.path.join(api_dir, f"{fid}.json"), "w") as fh:
+            json.dump(rec, fh)
+        return {"id": f"doc-{fid}"}
+
+    return fake_send
+
+
+def _no_sleep():
+    def f(_s):
+        return None
+    return f
+
+
+def test_rest_emit_retry_and_failure(spark):
+    import shutil
+
+    shutil.rmtree(_API_DIR, ignore_errors=True)
+    rows = spark.createDataFrame(
+        [("ok1", "h1"), ("flaky1", "h2"), ("bad1", "h3")],
+        "foreign_id string, content_hash string",
+    )
+    out = {
+        r["foreign_id"]: r
+        for r in rest_emit(
+            rows, _make_fake_send(_API_DIR), retries=3, sleep=_no_sleep()
+        ).collect()
+    }
+    assert out["ok1"]["status"] == "uploaded" and out["ok1"]["attempts"] == 1
+    assert out["flaky1"]["status"] == "uploaded" and out["flaky1"]["attempts"] == 2
+    assert out["bad1"]["status"] == "error" and out["bad1"]["remote_id"] is None
+    assert os.path.exists(f"{_API_DIR}/flaky1.h2.json")
+
+
+def test_aleph_emit_skips_cached_across_runs(spark, tmp_path):
+    import shutil
+
+    shutil.rmtree(_API_DIR, ignore_errors=True)
+    send = _make_fake_send(_API_DIR)
+    store = RunStore(tmp_path, "alephc", "r1")
+    results = spark.createDataFrame(
+        [
+            ("https://a/1", "h1", "T1", "text/html"),
+            ("https://a/2", "h2", "T2", "application/pdf"),
+        ],
+        "url string, content_hash string, title string, content_type string",
+    )
+    out1 = aleph_emit_documents(
+        spark, store, results, send, "coll", sleep=_no_sleep()
+    )
+    assert {r["status"] for r in out1.collect()} == {"uploaded"}
+
+    # run 2: one unchanged row (skipped, no API call), one new content
+    results2 = spark.createDataFrame(
+        [
+            ("https://a/1", "h1", "T1", "text/html"),       # cached
+            ("https://a/1", "h1b", "T1v2", "text/html"),    # content changed
+        ],
+        "url string, content_hash string, title string, content_type string",
+    )
+    os.remove(f"{_API_DIR}/https:__a_1.h1.json")  # prove no re-upload happens
+    out2 = {
+        (r["foreign_id"], r["content_hash"]): r["status"]
+        for r in aleph_emit_documents(
+            spark, store, results2, send, "coll", sleep=_no_sleep()
+        ).collect()
+    }
+    assert out2[("https://a/1", "h1")] == "skipped_cached"
+    assert out2[("https://a/1", "h1b")] == "uploaded"
+    assert not os.path.exists(f"{_API_DIR}/https:__a_1.h1.json")
+    assert os.path.exists(f"{_API_DIR}/https:__a_1.h1b.json")
+    # uploaded table now carries all three upload records
+    assert store.read_shared(spark, "uploaded_coll").count() == 3
