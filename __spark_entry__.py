@@ -354,6 +354,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         selected, _carry = politeness_dequeue(frontier, budget=5)
         return selected.select("event_id", "host")
 
+    def robots_politeness(spark, sf_dir):
+        """robots.txt gating end-to-end: synthesize per-host robots
+        documents (JVM-side), parse them with the REAL robots_table
+        mapInPandas kernel, and run the REAL politeness dequeue —
+        disallowed paths dropped, per-host budgets from Crawl-delay."""
+        from memorious_spark.functions.robots import robots_table
+        from memorious_spark.operators.frontier import politeness_dequeue
+
+        ship_package(spark)
+        hosts = spark.range(7).select(F.col("id").alias("h"))
+        robots_corpus = hosts.select(
+            F.concat(
+                F.lit("https://h"), F.col("h"),
+                F.lit(".example.com/robots.txt"),
+            ).alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit("User-agent: *\nDisallow: /doc/priv\nCrawl-delay: "),
+                    (F.col("h") + 10).cast("string"),
+                    F.lit("\n"),
+                ),
+                "utf-8",
+            ).alias("html"),
+        )
+        gate = robots_table(robots_corpus, agent="memorious", round_seconds=60.0)
+
+        ev = _events(spark, sf_dir)
+        host = F.concat(F.lit("h"), F.col("user_id") % 7, F.lit(".example.com"))
+        url = F.concat(
+            F.lit("https://"), host,
+            F.when(F.col("event_id") % 13 == 0, F.lit("/doc/priv/")).otherwise(
+                F.lit("/doc/")
+            ),
+            F.col("event_id"),
+        )
+        frontier = ev.select(
+            "event_id",
+            host.alias("host"),
+            url.alias("url"),
+            F.lit(0.0).alias("priority"),
+            F.col("event_id").alias("emit_seq"),
+        )
+        sel, _carry = politeness_dequeue(frontier, budget=1_000, robots=gate)
+        return sel.select("event_id", "host", "url")
+
     def dedup_anti_join(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         cands = docs.select(
@@ -886,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs_seen": crawl_bfs_seen,
         "crawl_min_depth": crawl_min_depth,
         "politeness_budget": politeness_budget,
+        "robots_politeness": robots_politeness,
         "dedup_anti_join": dedup_anti_join,
         "incremental_skip": incremental_skip,
         "http_cache_replay": http_cache_replay,
@@ -1004,6 +1050,24 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id ORDER BY event_id) rn
               FROM events
             ) WHERE rn <= 5
+        """,
+        "robots_politeness": """
+            WITH f AS (
+              SELECT event_id,
+                     'h' || (user_id % 7) || '.example.com' AS host,
+                     user_id % 7 AS h,
+                     'https://h' || (user_id % 7) || '.example.com' ||
+                       (CASE WHEN event_id % 13 = 0 THEN '/doc/priv/'
+                             ELSE '/doc/' END) || event_id AS url
+              FROM events
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY host ORDER BY event_id) AS rn
+              FROM f WHERE event_id % 13 <> 0
+            )
+            SELECT event_id, host, url FROM ranked
+            WHERE rn <= CAST(floor(60.0 / (10 + h)) AS INT)
         """,
         "dedup_anti_join": """
             SELECT doc_id,

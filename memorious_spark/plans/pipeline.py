@@ -70,6 +70,10 @@ class CrawlConfig:
     inspect_enabled: bool = False
     # DEBUG emit sampling (memorious/logic/context.py:56-61)
     sampling_rate: float | None = None
+    # robots gating (north-rule addition, no reference analogue):
+    # top-level `robots: true` derives the per-host gate table from
+    # the corpus's own /robots.txt pages at run start
+    use_robots: bool = False
 
     def fetch_rule_col(self):
         return compile_rule(self.fetch_rules)
@@ -190,4 +194,5 @@ def load_config(spec: dict) -> CrawlConfig:
         extract_enabled=extract_enabled,
         extract_wildcard=extract_wildcard,
         inspect_enabled=inspect_enabled,
+        use_robots=bool(spec.get("robots", False)),
     )

@@ -241,6 +241,12 @@ class CrawlRunner:
             inc_df = store.read_shared(spark, "inc_tags", INC_TAGS_SCHEMA)
         else:
             cache_df = inc_df = None
+        if cfg.use_robots and self.robots is None:
+            # derive the per-host gate from the corpus's own
+            # /robots.txt pages (functions.robots; YAML `robots: true`)
+            from memorious_spark.functions.robots import robots_table
+
+            self.robots = robots_table(corpus).persist()
 
         if resume and (m := store.read_manifest()) is not None:
             start_round = m["last_complete_round"] + 1
