@@ -96,7 +96,9 @@ def prep_corpus(replicates: list[int]) -> None:
     n_docs = docs.count()
     for rep in sorted(set(replicates)):
         path = f"{_FAST_TMP}/bench_corpus_{_sf_label(SF_DIR)}_{rep}"
-        if not os.path.isdir(path):
+        # _SUCCESS gate: a dir left by a killed writer must rebuild,
+        # not silently feed partial data to every worker
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
             build_corpus(spark, docs, n_docs, replicate=rep).write.mode(
                 "overwrite"
             ).parquet(path)
@@ -192,7 +194,7 @@ def run_worker(
         wcorpus.unpersist()
 
     prebuilt = f"{_FAST_TMP}/bench_corpus_{_sf_label(SF_DIR)}_{replicate}"
-    if os.path.isdir(prebuilt):
+    if os.path.exists(os.path.join(prebuilt, "_SUCCESS")):
         corpus = spark.read.parquet(prebuilt).persist()
     else:
         corpus = build_corpus(spark, docs, n_docs, replicate=replicate).persist()
