@@ -657,6 +657,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dates_gen(spark, sf_dir):
         return dates(spark, "2024-01-01", "2024-01-31", days=3)
 
+    def init_frontier_dates(spark, sf_dir):
+        """YAML-compiled generator init (round-3 wiring): a dates init
+        stage feeding two %-templated seed urls materializes into the
+        round-0 frontier with the reference's per-item FIFO emit order
+        (memorious/operations/initializers.py:78-109 + 5-18)."""
+        from memorious_spark.operators.initializers import (
+            compile_initial_frontier,
+        )
+        from memorious_spark.plans.pipeline import load_yaml
+
+        cfg = load_yaml("""
+name: dates_init
+pipeline:
+  init:
+    method: dates
+    params: {begin: "2024-01-01", end: "2024-03-01", days: 2}
+    handle: {pass: urls}
+  urls:
+    method: seed
+    params:
+      urls:
+        - "https://archive.example.com/%(date)s"
+        - "https://mirror.example.com/%(date_iso)s"
+    handle: {pass: fetch}
+  fetch:
+    method: fetch
+    handle: {pass: parse}
+  parse:
+    method: parse
+    handle: {store: store}
+  store:
+    method: directory
+""")
+        return compile_initial_frontier(spark, cfg)
+
     # -- scalar kernels ---------------------------------------------------
     def url_kernel(spark, sf_dir):
         docs = _docs(spark, sf_dir)
@@ -943,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enumerate_gen": enumerate_gen,
         "sequence_gen": sequence_gen,
         "dates_gen": dates_gen,
+        "init_frontier_dates": init_frontier_dates,
         "url_kernel": url_kernel,
         "make_id": make_id,
         "rule_filter": rule_filter,
@@ -1176,6 +1212,25 @@ def oracle_sql() -> dict[str, str]:
               TIMESTAMP '2024-01-31', TIMESTAMP '2024-01-01',
               INTERVAL '-3' DAY)) AS d)
         """,
+        "init_frontier_dates": """
+            WITH g AS (
+              SELECT CAST(d AS DATE) AS d,
+                     CAST(date_diff('day', CAST(d AS DATE), DATE '2024-03-01') / 2
+                          AS BIGINT) AS i
+              FROM (SELECT unnest(generate_series(
+                TIMESTAMP '2024-03-01', TIMESTAMP '2024-01-01',
+                INTERVAL '-2' DAY)) AS d)
+            )
+            SELECT 'https://archive.example.com/' || strftime(d, '%Y-%m-%d')
+                     AS url,
+                   i * 2 + 0 AS emit_seq
+            FROM g
+            UNION ALL
+            SELECT 'https://mirror.example.com/'
+                     || strftime(d, '%Y-%m-%dT%H:%M:%S') AS url,
+                   i * 2 + 1 AS emit_seq
+            FROM g
+        """,
         "url_kernel": """
             SELECT doc_id,
                    'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id
@@ -1267,7 +1322,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.vec_id,
                    round({_cosine_sql('b.embedding', 'q.qv')}, 6) AS cosine
-            FROM b, q, qb WHERE b.bucket = qb.qbucket
+            FROM b, q, qb
+            WHERE xor(b.bucket::BIGINT, qb.qbucket::BIGINT)
+                  IN ({", ".join(["0"] + [str(1 << p) for p in range(KNN_PLANES)])})
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "lang_id": _lang_sql(),

@@ -67,6 +67,9 @@ VOID_ELEMENTS = frozenset(
 
 _WS_RE = re.compile(r"\s+", re.U)
 _CHARSET_RE = re.compile(r"charset=([\w.-]+)", re.I)
+# byte-level sniff: <meta charset="…"> or <meta http-equiv=… content=
+# "…; charset=…"> in the document head (both match on `charset=`)
+_META_CHARSET_RE = re.compile(rb"<meta[^>]+charset\s*=\s*[\"']?([\w.-]+)", re.I)
 
 
 def collapse_spaces(value: str | None) -> str | None:
@@ -77,13 +80,17 @@ def collapse_spaces(value: str | None) -> str | None:
 
 
 def detect_charset(content_type: str | None, body: bytes | None = None) -> str:
-    """Charset from the Content-Type parameter, else utf-8.
+    """Charset from the Content-Type parameter, else guessed from the
+    raw bytes, else utf-8.
 
     The reference guesses from bytes when the header is silent
-    (memorious/logic/http.py:261-268); chardet is unavailable here, so
-    the engine contract pins the fallback to utf-8 and the synthetic
-    corpus always declares its charset. A BOM sniff keeps utf-16
-    bodies honest even without a declaration.
+    (memorious/logic/http.py:261-268, chardet-backed); the
+    dependency-free guess here is, in priority order:
+    BOM sniff → ``<meta charset>`` / ``http-equiv`` scan of the first
+    1 KiB → strict-utf-8 trial of that head (invalid byte sequences →
+    iso-8859-1, the accepts-everything legacy-web fallback). A
+    declared header charset always wins, so declared-corpus byte
+    identity is unaffected.
     """
     if content_type:
         m = _CHARSET_RE.search(content_type)
@@ -99,6 +106,23 @@ def detect_charset(content_type: str | None, body: bytes | None = None) -> str:
             return "utf-16"
         if body.startswith(b"\xef\xbb\xbf"):
             return "utf-8-sig"
+        head = bytes(body[:1024])
+        m = _META_CHARSET_RE.search(head)
+        if m:
+            enc = m.group(1).decode("ascii", "ignore").lower()
+            try:
+                codecs.lookup(enc)
+                return enc
+            except LookupError:
+                pass
+        try:
+            head.decode("utf-8")
+        except UnicodeDecodeError as e:
+            # an error within the last 3 bytes may just be a multibyte
+            # sequence cut by the 1 KiB window — not evidence against
+            # utf-8
+            if e.start < len(head) - 3:
+                return "iso-8859-1"
     return "utf-8"
 
 
@@ -271,7 +295,13 @@ def clean_html(text: str | None, remove_paths: list[str]) -> str | None:
     hash). Serialization contract is ElementTree's html method —
     defined by THIS kernel, shared engine/oracle.
     """
-    root = parse_html(text)
+    return clean_tree(parse_html(text), remove_paths)
+
+
+def clean_tree(root: Element | None, remove_paths: list[str]) -> str | None:
+    """:func:`clean_html` over an already-parsed tree (the parse UDF
+    reuses its DOM instead of re-parsing). MUTATES ``root`` — callers
+    must run their own extraction first."""
     if root is None:
         return None
     for path in remove_paths:

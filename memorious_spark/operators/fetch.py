@@ -19,9 +19,12 @@ corpus`` degrades to a full corpus shuffle. Instead:
   retry bookkeeping measurably dominated small rounds).
 
 Past ``_BROADCAST_MAX_ROWS`` the frontier side falls back to a
-key-partitioned shuffle join (AQE handles skew); on a real deployment
-the corpus is bucketed by url so even that path avoids re-shuffling
-the 100 TB side.
+SHUFFLE_HASH-hinted key-partitioned shuffle join (hash build on the
+frontier side — never a sort of the corpus; AQE handles skew); on a
+real deployment the corpus is bucketed by url so even that path
+avoids re-shuffling the 100 TB side. ``MEMSPARK_FORCE_SHUFFLE_JOIN=1``
+forces this fallback regardless of size so tests can lock its plan
+and verify crawl equality (test_plans.py / test_crawl_e2e.py).
 
 Outcome taxonomy (reference-faithful):
 - ``ok`` = status < 400, exactly requests' ``Response.ok`` used by the
@@ -46,6 +49,8 @@ the main join and redirect resolution join normalized keys against it.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -115,11 +120,18 @@ def fetch_stage(
     so its output is the single source of truth for the round's fetch
     outcomes (one corpus scan per round).
     """
-    if broadcast_frontier is None:
+    if os.environ.get("MEMSPARK_FORCE_SHUFFLE_JOIN") == "1":
+        broadcast_frontier = False
+    elif broadcast_frontier is None:
         broadcast_frontier = (
             selected_count is not None and selected_count <= _BROADCAST_MAX_ROWS
         )
-    maybe_bc = F.broadcast if broadcast_frontier else (lambda df: df)
+    # non-broadcast fallback: SHUFFLE_HASH builds the hash table on the
+    # frontier side — a sort-merge join would SORT the corpus side,
+    # which is exactly the 100 TB catastrophe the hint forbids
+    maybe_bc = (
+        F.broadcast if broadcast_frontier else (lambda df: df.hint("shuffle_hash"))
+    )
     # every non-corpus column of the frontier side passes through —
     # extra columns (e.g. the http-cache probe's cached_* fields) ride
     # the join untouched
@@ -149,8 +161,10 @@ def fetch_stage(
     )
     pc2 = _prefixed(corpus)
     rjoined = pc2.join(
-        F.broadcast(redirects), pc2["f_url"] == F.col("_target"), "inner"
-    )  # dangling redirects drop out of the inner join
+        maybe_bc(redirects), pc2["f_url"] == F.col("_target"), "inner"
+    )  # dangling redirects drop out of the inner join; the redirect
+    # subset follows the main join's strategy (a 10^10-row frontier's
+    # redirect slice is itself too big to broadcast)
     return fetched_direct.unionByName(
         _finalize(rjoined, redirected_from=True, frontier_cols=frontier_cols)
     )

@@ -9,11 +9,15 @@ DAG fan-out — reuse one DataFrame for several downstream writes.
 
 from __future__ import annotations
 
-from datetime import date, datetime
+import re
+from datetime import date, datetime, timedelta
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-__all__ = ["seed", "enumerate_items", "sequence", "dates", "tee"]
+__all__ = [
+    "seed", "enumerate_items", "sequence", "dates", "tee",
+    "template_col", "compile_initial_frontier",
+]
 
 
 def seed(spark: SparkSession, urls: list[str], data: dict | None = None) -> DataFrame:
@@ -89,3 +93,117 @@ def tee(df: DataFrame) -> DataFrame:
     """Fan-out: same rows to every handler (initializers.py:29-32) —
     persist so each downstream branch reuses one computation."""
     return df.persist()
+
+
+# ---- YAML-compiled generator init → round-0 frontier -----------------
+
+_TMPL_RE = re.compile(r"%\((\w+)\)([sd])")
+
+# strftime → Spark datetime-pattern directives (the subset the dates
+# initializer's `format` param realistically uses)
+_STRF = (
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%j", "DDD"),
+)
+
+
+def _strftime_to_spark(fmt: str) -> str:
+    for k, v in _STRF:
+        fmt = fmt.replace(k, v)
+    if "%" in fmt:
+        raise ValueError(f"unsupported strftime directive in {fmt!r}")
+    return fmt
+
+
+def template_col(template: str, fields: dict[str, Column]) -> Column:
+    """Python %-dict template → Column (the ``url % data`` of the
+    reference seed, initializers.py:5-18): ``%(name)s``/``%(name)d``
+    tokens become the generated-field columns, the rest is literal
+    (``%%`` unescapes). Unknown field names fail at compile time —
+    the reference would KeyError per task."""
+    parts: list[Column] = []
+    pos = 0
+    for m in _TMPL_RE.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos:m.start()].replace("%%", "%")))
+        name = m.group(1)
+        if name not in fields:
+            raise KeyError(
+                f"seed template {template!r}: generator emits no field "
+                f"{name!r} (has: {sorted(fields)})"
+            )
+        col = fields[name]
+        if m.group(2) == "d":
+            col = col.cast("long")
+        parts.append(col.cast("string"))
+        pos = m.end()
+    if pos < len(template) or not parts:
+        parts.append(F.lit(template[pos:].replace("%%", "%")))
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+def compile_initial_frontier(
+    spark: SparkSession, cfg, store=None
+) -> DataFrame:
+    """Materialize a generator-init YAML config's round-0 frontier:
+    ``(url string, emit_seq long)``.
+
+    Reproduces the reference's sequential emit order without a driver
+    loop: item ``i`` (generation order) feeding ``T`` flattened seed
+    templates emits urls with ``emit_seq = i·T + j`` — exactly the
+    FIFO order of generator → (tee →) seed → fetch
+    (initializers.py:35-109 recursion flattened to one DataFrame).
+    ``emit_seq`` is an ORDER KEY, not a dense id: a sequence ``tag``
+    skip (once-only numbers) leaves gaps, which preserves relative
+    order — the only contract the frontier uses.
+    """
+    p = dict(cfg.init_params or {})
+    templates = list(cfg.seed_templates)
+    method = cfg.init_method
+    if method == "sequence":
+        start, step = int(p.get("start", 1)), int(p.get("step", 1))
+        gen = sequence(
+            spark, start=start, stop=int(p["stop"]), step=step,
+            tag=p.get("tag"), store=store,
+        )
+        item_idx = ((F.col("number") - F.lit(start)) / F.lit(step)).cast("long")
+        fields = {"number": F.col("number")}
+    elif method == "enumerate":
+        gen = enumerate_items(spark, p.get("items") or [])
+        item_idx = F.col("seq")
+        fields = {"item": F.col("item")}
+    elif method == "dates":
+        fmt = p.get("format", "%Y-%m-%d")
+        step_days = int(p.get("days", 0)) + 7 * int(p.get("weeks", 0))
+        if step_days <= 0:
+            raise ValueError("dates init: no interval given (days/weeks)")
+        end = datetime.strptime(str(p["end"]), fmt)
+        begin = (
+            datetime.strptime(str(p["begin"]), fmt)
+            if "begin" in p
+            else end - timedelta(days=step_days) * int(p.get("steps", 100))
+        )
+        gen = dates(
+            spark, begin.isoformat(sep=" "), end.isoformat(sep=" "),
+            days=int(p.get("days", 0)), weeks=int(p.get("weeks", 0)),
+        )
+        # newest-first index: whole-day steps back from `end`
+        item_idx = F.floor(
+            F.datediff(
+                F.lit(end.strftime("%Y-%m-%d")).cast("date"),
+                F.col("date").cast("date"),
+            ) / F.lit(step_days)
+        ).cast("long")
+        fields = {
+            "date": F.date_format("date", _strftime_to_spark(fmt)),
+            # python datetime.isoformat() shape (initializers.py:104)
+            "date_iso": F.date_format("date", "yyyy-MM-dd'T'HH:mm:ss"),
+        }
+    else:
+        raise ValueError(f"not a generator init method: {method!r}")
+
+    n = len(templates)
+    urls = F.array(*[template_col(t, fields) for t in templates])
+    return gen.select(
+        item_idx.alias("_i"), F.posexplode(urls).alias("_j", "url")
+    ).select("url", (F.col("_i") * n + F.col("_j")).cast("long").alias("emit_seq"))

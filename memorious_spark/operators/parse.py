@@ -54,7 +54,11 @@ _PARSE_OUT_FIELDS = (
 )
 
 
-def parse_stage(fetched: DataFrame, config: ParseConfig | None = None) -> DataFrame:
+def parse_stage(
+    fetched: DataFrame,
+    config: ParseConfig | None = None,
+    clean_paths: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Add title/text/meta/properties/links columns; input needs
     ``final_url``, ``html``, ``content_type_raw`` (fetch_stage output).
 
@@ -64,6 +68,12 @@ def parse_stage(fetched: DataFrame, config: ParseConfig | None = None) -> DataFr
     binary is consumed here and dropped from the output — downstream
     stages never need the raw bytes, so they stop riding the Arrow
     stream (the reference's pass-hash-not-body economy, SURVEY.md §3.3).
+
+    ``clean_paths`` (the YAML clean_html stage, operations/clean.py:
+    11-26) adds ``clean_text``/``clean_hash`` columns — the
+    re-serialized DOM with the matching subtrees dropped and its sha1
+    — computed in the SAME pass on the already-parsed tree (no second
+    Arrow transfer of the body). Null for non-HTML / unparseable rows.
     """
     config = config or ParseConfig()
     meta_paths = dict(config.meta)
@@ -71,6 +81,7 @@ def parse_stage(fetched: DataFrame, config: ParseConfig | None = None) -> DataFr
     properties = dict(config.properties)
     include = list(config.include_paths) if config.include_paths else None
     link_titles = config.link_titles
+    clean_list = list(clean_paths) if clean_paths else None
 
     keep_cols = [c for c in fetched.columns if c != "html"]
     out_schema = ", ".join(
@@ -78,11 +89,16 @@ def parse_stage(fetched: DataFrame, config: ParseConfig | None = None) -> DataFr
         for f in fetched.schema.fields
         if f.name != "html"
     ) + ", " + _PARSE_OUT_FIELDS
+    if clean_list:
+        out_schema += ", clean_text string, clean_hash string"
 
     def parse_batches(batches):
+        import hashlib
+
         for pdf in batches:
             titles, texts, metas, props = [], [], [], []
             lurls, ltitles = [], []
+            cleans, chashes = [], []
             for u, body, ct in zip(
                 pdf["final_url"], pdf["html"], pdf["content_type_raw"]
             ):
@@ -111,6 +127,17 @@ def parse_stage(fetched: DataFrame, config: ParseConfig | None = None) -> DataFr
                 ltitles.append(
                     [lt for _u, lt, _i in found] if link_titles else None
                 )
+                if clean_list:
+                    # LAST: clean_tree mutates the DOM the extractors
+                    # above already consumed; hash = sha1 of the
+                    # serialized bytes (context.store_data, clean.py:23)
+                    cleaned = htmlkit.clean_tree(root, clean_list)
+                    cleans.append(cleaned)
+                    chashes.append(
+                        hashlib.sha1(cleaned.encode("utf-8")).hexdigest()
+                        if cleaned is not None
+                        else None
+                    )
             out = pdf[keep_cols].copy()
             out["title"] = titles
             out["text"] = texts
@@ -118,6 +145,9 @@ def parse_stage(fetched: DataFrame, config: ParseConfig | None = None) -> DataFr
             out["properties"] = props
             out["link_urls"] = lurls
             out["link_titles"] = ltitles
+            if clean_list:
+                out["clean_text"] = cleans
+                out["clean_hash"] = chashes
             yield out
 
     out = fetched.mapInPandas(parse_batches, out_schema)

@@ -13,12 +13,19 @@ Scale design (10^10-URL frontier):
   join injection (``spark.sql.optimizer.runtime.bloomFilter.enabled``,
   set in session.py) prunes the shuffle on its own.
 - Large-seen path: an explicit broadcast Bloom built distributed
-  (mapPartitions → numpy bitmap → treeReduce OR), probed by an
-  Arrow-batched vectorized UDF BEFORE the shuffle. The bloom is a
-  bandwidth optimization only — false positives are caught (kept) by
-  the exact anti-join that follows, so no URL is ever wrongly
+  (Arrow batches → vectorized numpy bit ops → treeReduce OR), probed
+  by an Arrow-batched vectorized UDF BEFORE the shuffle. The bloom is
+  a bandwidth optimization only — false positives are caught (kept)
+  by the exact anti-join that follows, so no URL is ever wrongly
   dropped (test_operators.py::test_dedup_new_bloom_path forces this
-  path and asserts exactness).
+  path and asserts exactness). The runner maintains the bitmap
+  INCREMENTALLY across rounds (:func:`update_bloom` ORs in only each
+  round's new hashes) instead of rebuilding from the full seen set —
+  at 10^8-10^10 seen keys a per-round rebuild would dominate exactly
+  the regime the bloom exists for. False NEGATIVES are the only
+  correctness hazard (a seen hash missing from the bitmap re-crawls
+  its URL), so the contract is: build once from a full seen snapshot,
+  then OR in every subsequent seen append before the next probe.
 - Expiry (`expires_at`) reproduces the reference's ``expire × 84600``
   quirk (sic, not 86400 — memorious/logic/crawler.py:50).
 """
@@ -31,7 +38,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["EXPIRE_QUIRK_SECONDS", "dedup_new", "seen_entries", "build_bloom"]
+__all__ = [
+    "EXPIRE_QUIRK_SECONDS", "dedup_new", "seen_entries", "build_bloom",
+    "update_bloom",
+]
 
 # The reference multiplies `expire` (days) by 84600 — a long-standing
 # off-by-1800 quirk we reproduce for parity (memorious/logic/crawler.py:50).
@@ -52,29 +62,79 @@ def _bloom_params(expected: int, fpp: float) -> tuple[int, int]:
     return m, min(k, 8)
 
 
-def build_bloom(df: DataFrame, key: str, expected: int, fpp: float = _BLOOM_FPP):
-    """Distributed Bloom build over a 64-bit-hash column: per-partition
-    numpy bitmaps OR-combined via treeReduce. Returns (bitmap, m, k)."""
-    m, k = _bloom_params(expected, fpp)
+def _or_hashes(arr: np.ndarray, hv: np.ndarray, m: int, k: int) -> None:
+    """Set the k bloom bits of each 64-bit hash in ``hv`` — the exact
+    uint64-wraparound arithmetic of the vectorized probe (no Python
+    per-row loop; ``bitwise_or.at`` handles duplicate byte indexes)."""
+    hv = hv.astype(np.uint64, copy=False)
+    h2 = ((hv * np.uint64(_MULT)) & np.uint64(_MASK)) | np.uint64(1)
+    for i in range(k):
+        idx = (hv + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(
+            arr,
+            (idx >> np.uint64(3)).astype(np.int64),
+            (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8),
+        )
+
+
+def _partial_bitmaps(df: DataFrame, key: str, m: int, k: int) -> DataFrame:
+    """One partial bitmap row per partition: Arrow-batched numpy bit
+    ops (mirrors the probe side — no per-row Python)."""
+    import pyarrow as pa
+
     m_bytes = (m + 7) // 8
 
-    def part(rows):
+    def part(batches):  # pragma: no cover (executor)
         arr = np.zeros(m_bytes, dtype=np.uint8)
-        for row in rows:
-            h = row[0]
-            if h is None:
+        for batch in batches:
+            col = batch.column(0).drop_null()
+            if len(col) == 0:
                 continue
-            h1 = h & _MASK
-            h2 = ((h * _MULT) & _MASK) | 1
-            for i in range(k):
-                # mask to 64 bits: must match the numpy-uint64 wraparound
-                # arithmetic of the vectorized probe exactly
-                idx = ((h1 + i * h2) & _MASK) % m
-                arr[idx >> 3] |= 1 << (idx & 7)
-        yield arr
+            # int64 → uint64 view keeps the two's-complement bit pattern
+            # (the `h & _MASK` of the scalar formulation)
+            hv = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            _or_hashes(arr, hv, m, k)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([arr.tobytes()], type=pa.binary())], names=["bm"]
+        )
 
-    bitmap = df.select(key).rdd.mapPartitions(part).treeReduce(np.bitwise_or)
+    return df.select(key).mapInArrow(part, "bm binary")
+
+
+def _reduce_bitmaps(df: DataFrame, key: str, m: int, k: int) -> np.ndarray | None:
+    """treeReduce the per-partition bitmaps; None when the input plan
+    collapses to zero partitions (an empty round — nothing to OR)."""
+    try:
+        return (
+            _partial_bitmaps(df, key, m, k)
+            .rdd.map(lambda r: np.frombuffer(r["bm"], dtype=np.uint8))
+            .treeReduce(np.bitwise_or)
+        )
+    except ValueError:  # "Cannot reduce() empty RDD"
+        return None
+
+
+def build_bloom(df: DataFrame, key: str, expected: int, fpp: float = _BLOOM_FPP):
+    """Distributed Bloom build over a 64-bit-hash column: per-partition
+    vectorized numpy bitmaps OR-combined via treeReduce. Returns
+    (bitmap, m, k)."""
+    m, k = _bloom_params(expected, fpp)
+    bitmap = _reduce_bitmaps(df, key, m, k)
+    if bitmap is None:
+        bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
     return bitmap, m, k
+
+
+def update_bloom(bloom, df: DataFrame, key: str = "url_hash"):
+    """OR ``df``'s hashes into an existing bitmap — the incremental
+    maintenance path: per frontier round only the round's NEW seen
+    hashes are inserted (ideally from already-cached data), never the
+    full seen set. Returns the updated (bitmap, m, k)."""
+    bitmap, m, k = bloom
+    partial = _reduce_bitmaps(df, key, m, k)
+    if partial is None:
+        return bloom
+    return np.bitwise_or(bitmap, partial), m, k
 
 
 def _probe_udf(spark, bitmap: np.ndarray, m: int, k: int):
@@ -100,19 +160,25 @@ def dedup_new(
     seen: DataFrame | None,
     key: str = "url_hash",
     seen_count: int | None = None,
+    bloom=None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose ``key`` is not in ``seen``.
 
     Exactness is guaranteed by the final ``left_anti`` join; the bloom
     probe (only engaged for large seen sides) just cuts shuffle volume.
     ``seen_count`` — if the caller tracked it from round metrics —
-    picks the strategy without an extra count job.
+    picks the strategy without an extra count job. ``bloom`` — a
+    (bitmap, m, k) the caller maintains incrementally across rounds
+    (:func:`update_bloom`) — skips the per-call rebuild; it MUST cover
+    every hash in ``seen`` (false negatives re-crawl URLs).
     """
     if seen is None:
         return candidates
     seen_keys = seen.select(key).distinct()
-    if seen_count is not None and seen_count >= _BLOOM_MIN_ROWS:
-        bitmap, m, k = build_bloom(seen_keys, key, seen_count)
+    if bloom is None and seen_count is not None and seen_count >= _BLOOM_MIN_ROWS:
+        bloom = build_bloom(seen_keys, key, seen_count)
+    if bloom is not None:
+        bitmap, m, k = bloom
         maybe_seen = _probe_udf(candidates.sparkSession, bitmap, m, k)
         definitely_new = candidates.filter(~maybe_seen(F.col(key)))
         maybe = candidates.filter(maybe_seen(F.col(key)))

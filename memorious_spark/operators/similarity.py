@@ -16,7 +16,10 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["cosine_sim", "knn_brute_force", "lsh_bucket_col", "knn_lsh"]
+__all__ = [
+    "cosine_sim", "knn_brute_force", "lsh_bucket_col", "knn_lsh",
+    "query_probe_buckets",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -83,18 +86,15 @@ def lsh_bucket_col(
     return bucket
 
 
-def knn_lsh(
-    emb: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 6,
-) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket, exact
-    cosine re-rank inside it. At scale the bucket column is
-    precomputed + partitioned-by, so a query touches ~n/2^planes rows;
-    here it's derived on the fly."""
+def query_probe_buckets(
+    query_vec: list[float], n_planes: int = 6, multiprobe: bool = True
+) -> list[int]:
+    """The query's LSH bucket plus (``multiprobe``) every hamming-1
+    neighbor bucket — a near neighbor whose projection flips exactly
+    one plane sign lands one bit away, so single-probe has a recall
+    cliff precisely at the decision boundaries; probing the
+    ``n_planes + 1`` adjacent buckets removes it at a candidate
+    volume of ~(planes+1)·n/2^planes."""
     dim = len(query_vec)
     qsig = 0
     for p in range(n_planes):
@@ -103,12 +103,34 @@ def knn_lsh(
         )
         if dot > 0:
             qsig |= 1 << p
+    if not multiprobe:
+        return [qsig]
+    return [qsig] + [qsig ^ (1 << p) for p in range(n_planes)]
+
+
+def knn_lsh(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket and (default)
+    its hamming-1 neighbors, exact cosine re-rank inside the candidate
+    set. At scale the bucket column is precomputed + partitioned-by,
+    so a multiprobe query touches ~(planes+1)/2^planes of the rows
+    (partition-pruned scans on a bucketed table); here it's derived on
+    the fly. ``multiprobe=False`` restores the single-bucket probe."""
+    dim = len(query_vec)
+    probes = query_probe_buckets(query_vec, n_planes, multiprobe)
     bucketed = emb.withColumn(
         "_bucket", lsh_bucket_col(F.col(vec_col), dim, n_planes)
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        bucketed.filter(F.col("_bucket") == qsig)
+        bucketed.filter(F.col("_bucket").isin(probes))
         .select(
             F.col(id_col),
             F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),

@@ -6,12 +6,13 @@ post-run aggregator hook.
   ``<content_hash>.data.<ext>`` payload (ext from the normalized mime,
   store.py:27-38) and a ``<content_hash>.json`` metadata sidecar under
   ``<path>/<crawler>/``. foreachPartition — executor-side writes, no
-  driver collect. CAVEATS, by design: the payload is the extracted
-  ``text`` (the engine drops raw html after parse — the
-  pass-hash-not-body economy), and plain ``open()`` writes land on
-  each executor's LOCAL filesystem — correct in local mode and on any
-  shared mount; a real cluster with object storage should keep results
-  relational (RunStore parquet) or route through Hadoop FS APIs.
+  driver collect — through ``pyarrow.fs.FileSystem.from_uri``, so the
+  same code writes local paths in local mode and shared object
+  storage (``s3://…``/``hdfs://…``) on a cluster: every executor
+  resolves the SAME destination from the URI, buffered output
+  streams, one filesystem handle per partition. (Payload is the
+  extracted ``text`` — the engine drops raw html after parse, the
+  pass-hash-not-body economy.)
 - ``merge_upsert`` is the ``db`` op's core (memorious/operations/
   db.py:9-22): update-by-unique-keys else insert, stamping
   ``__first_seen`` / ``__last_seen``. Expressed as a full-outer-shaped
@@ -29,7 +30,6 @@ post-run aggregator hook.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -61,28 +61,40 @@ def directory_sink(
     """Write one ``<content_hash>.data.<ext>`` + ``<content_hash>.json``
     per row under ``<path>/<crawler>/`` (store.py:42-70 layout: the
     reference names blobs ``content_hash + '.' + safe_filename('data',
-    ext)``)."""
-    out_dir = os.path.join(path, crawler)
-    os.makedirs(out_dir, exist_ok=True)
+    ext)``).
+
+    Cluster posture: the destination is resolved per partition from
+    its URI via ``pyarrow.fs`` — ``file://``/plain paths in local
+    mode, object storage (s3/gcs/hdfs) on a real deployment — so the
+    blobs land in ONE shared location no matter which executor writes
+    them; writes go through pyarrow's buffered output streams.
+    """
+    out_dir = f"{path.rstrip('/')}/{crawler}"
     cols = [c for c in results.columns if c not in ("html",)]
     slim = results.select(*cols).filter(F.col("content_hash").isNotNull())
 
     def write_partition(rows):
+        from pyarrow import fs as pa_fs
+
+        filesystem, base = pa_fs.FileSystem.from_uri(out_dir)
+        filesystem.create_dir(base, recursive=True)
         for row in rows:
             d = row.asDict(recursive=True)
             ch = d["content_hash"]
             ext = _EXT.get(d.get("content_type") or "", "raw")
             text = d.get(text_col)
-            with open(os.path.join(out_dir, f"{ch}.data.{ext}"), "w") as fh:
-                fh.write(text or "")
+            with filesystem.open_output_stream(
+                f"{base}/{ch}.data.{ext}"
+            ) as fh:
+                fh.write((text or "").encode("utf-8"))
             meta = {
                 k: (v.isoformat() if hasattr(v, "isoformat") else v)
                 for k, v in d.items()
                 if k != text_col
             }
             meta["_file_name"] = f"{ch}.data.{ext}"
-            with open(os.path.join(out_dir, f"{ch}.json"), "w") as fh:
-                json.dump(meta, fh, sort_keys=True)
+            with filesystem.open_output_stream(f"{base}/{ch}.json") as fh:
+                fh.write(json.dumps(meta, sort_keys=True).encode("utf-8"))
 
     slim.foreachPartition(write_partition)
 
@@ -233,8 +245,11 @@ def run_aggregator(
     example/src/example/quotes.py:74-76).
 
     Built-in method ``export_json`` writes every stored row as one
-    JSON-lines dataset under ``params.path``. Unknown methods raise at
-    call time like the reference's late import failure."""
+    JSON-lines dataset under ``params.path``. Any other method is
+    late-bound exactly like the reference's ``module:function``
+    resolution (crawler.py:66-81 via get_entrypoint): imported at
+    call time and invoked as ``fn(spark, store, results, params)``;
+    an unresolvable method raises with the reference's error shape."""
     method = config.get("method")
     params = config.get("params") or {}
     if method in ("export_json", "datafreeze"):
@@ -247,4 +262,15 @@ def run_aggregator(
             .json(path)
         )
         return path
+    if isinstance(method, str) and ":" in method:
+        import importlib
+
+        mod_name, _, fn_name = method.partition(":")
+        try:
+            fn = getattr(importlib.import_module(mod_name), fn_name)
+        except (ImportError, AttributeError) as e:
+            raise ValueError(
+                f"Unknown method: {method!r} (aggregator late-bind failed: {e})"
+            ) from e
+        return fn(spark, store, results, params)
     raise ValueError(f"unknown aggregator method: {method!r}")

@@ -9,10 +9,20 @@ ambiguous rules — the reference late-binds methods per task
 (stage.py:20-31); we validate at load time (SURVEY.md §3.2).
 
 Only the corpus-model subset is compiled: seed/sequence/dates/
-enumerate initializers, fetch (rules, retries), parse (store rules,
-meta, schema+properties, include_paths), store. Live-web operators
-(session auth, aleph upload, FTP/WebDAV) have no meaning against a
-page-corpus table and are rejected with a clear error.
+enumerate initializers (with ``tee`` fan-out and %-templated seed
+urls, memorious/operations/initializers.py:5-18), fetch (rules,
+retries), parse (store rules, meta, schema+properties,
+include_paths), clean_html, store. Live-web operators (session auth,
+aleph upload, FTP/WebDAV) have no meaning against a page-corpus table
+and are rejected with a clear error.
+
+Every method this loader accepts is WIRED: generator init stages
+compile to an initial-frontier spec the runner materializes
+(operators/initializers.compile_initial_frontier), ``tee`` fan-out
+resolves to the union of its seed branches in handler order, and a
+``clean_html`` stage runs as the store-path transform (re-serialized
+DOM, re-hashed — operations/clean.py:11-26). Anything the runner
+would not execute raises here, at load time.
 """
 
 from __future__ import annotations
@@ -74,6 +84,21 @@ class CrawlConfig:
     # top-level `robots: true` derives the per-host gate table from
     # the corpus's own /robots.txt pages at run start
     use_robots: bool = False
+    # generator init stage (initializers.py:21-109): method + params of
+    # a sequence/dates/enumerate init, and the %-templated seed urls
+    # its items format into (flattened over tee branches in handler
+    # order — the reference's per-item FIFO emit order). The runner
+    # materializes these into the round-0 frontier via
+    # ``compile_initial_frontier``; ``init_method == "seed"``/"tee"
+    # compile straight into ``seeds``.
+    init_method: str = "seed"
+    init_params: dict | None = None
+    seed_templates: tuple[str, ...] = ()
+    # clean_html stage (operations/clean.py:11-26): drop these DOM
+    # subtrees from stored documents and re-hash. Applies on the store
+    # path — links/meta still come from the original DOM, exactly the
+    # fetch → parse → clean → store pipeline shape.
+    clean_html_paths: tuple[str, ...] | None = None
 
     def fetch_rule_col(self):
         return compile_rule(self.fetch_rules)
@@ -109,7 +134,89 @@ def load_config(spec: dict) -> CrawlConfig:
             if target not in stages:
                 raise ValueError(f"stage {sname!r} handles unknown stage {target!r}")
 
-    seeds: tuple[str, ...] = ()
+    # ---- init chain: generator / tee / seed resolution ---------------
+    # The init stage's method decides the round-0 frontier source; tee
+    # fan-out walks handlers in declaration order (the reference emits
+    # per item per handler, initializers.py:29-32), and seed stages
+    # contribute their url (templates) in list order — so the flattened
+    # template list reproduces the sequential FIFO emit order exactly.
+    _TMPL_TOKEN = "%("
+    init_chain: set[str] = {init_name}
+
+    def _seed_urls(stage: dict) -> list[str]:
+        params = stage.get("params") or {}
+        urls = params.get("urls") or params.get("url") or []
+        return [urls] if isinstance(urls, str) else list(urls)
+
+    def _resolve_branches(sname: str, depth: int = 0) -> list[str]:
+        if depth > 10:
+            raise ValueError("init handle chain too deep (tee cycle?)")
+        stage = stages[sname]
+        method = stage.get("method")
+        init_chain.add(sname)
+        if method == "tee":
+            out: list[str] = []
+            for target in (stage.get("handle") or {}).values():
+                out.extend(_resolve_branches(target, depth + 1))
+            return out
+        if method == "seed":
+            return _seed_urls(stage)
+        raise ValueError(
+            f"init chain reaches stage {sname!r} (method {method!r}) — "
+            "generator/tee init stages must feed seed stages"
+        )
+
+    init_stage = stages[init_name]
+    init_method = init_stage.get("method")
+    init_params: dict | None = None
+    seed_templates: tuple[str, ...] = ()
+    if init_method == "seed":
+        seeds = tuple(_seed_urls(init_stage))
+    elif init_method == "tee":
+        seeds = tuple(_resolve_branches(init_name))
+    elif init_method in ("sequence", "dates", "enumerate"):
+        templates: list[str] = []
+        for target in (init_stage.get("handle") or {}).values():
+            templates.extend(_resolve_branches(target))
+        if not templates:
+            raise ValueError(
+                f"init generator {init_method!r} feeds no seed stage — "
+                "its items would crawl nothing"
+            )
+        seed_templates = tuple(templates)
+        seeds = ()
+        init_params = dict(init_stage.get("params") or {})
+        if init_method == "sequence" and init_params.get("stop") is None:
+            raise ValueError("sequence init requires 'stop' in batch mode")
+        if init_method == "dates" and "end" not in init_params:
+            raise ValueError(
+                "dates init requires an explicit 'end' (the reference "
+                "defaults to utcnow — nondeterministic; declare it)"
+            )
+    else:
+        raise ValueError(
+            f"init stage {init_name!r} method {init_method!r} is not an "
+            "initializer (seed/sequence/dates/enumerate/tee)"
+        )
+    if init_method in ("seed", "tee"):
+        bad = [u for u in seeds if _TMPL_TOKEN in u]
+        if bad:
+            raise ValueError(
+                f"seed url templates {bad} reference generated fields but "
+                "the init chain has no generator stage"
+            )
+    # generator/tee/seed stages anywhere OUTSIDE the init chain would
+    # silently never run in the compiled plan → reject at load
+    for sname, stage in stages.items():
+        if (
+            stage.get("method") in ("seed", "sequence", "dates", "enumerate", "tee")
+            and sname not in init_chain
+        ):
+            raise ValueError(
+                f"stage {sname!r} ({stage.get('method')!r}) is outside the "
+                "init chain — the compiled plan would never execute it"
+            )
+
     fetch_rules = store_rules = None
     parse_cfg = ParseConfig()
     retries = 3
@@ -119,15 +226,11 @@ def load_config(spec: dict) -> CrawlConfig:
     store_method = store_params = None
     extract_enabled, extract_wildcard = False, None
     inspect_enabled = False
+    clean_paths: tuple[str, ...] | None = None
     for stage in stages.values():
         method = stage.get("method")
         params = stage.get("params") or {}
-        if method == "seed":
-            urls = params.get("urls") or params.get("url") or []
-            if isinstance(urls, str):
-                urls = [urls]
-            seeds = tuple(urls)
-        elif method == "fetch":
+        if method == "fetch":
             fetch_rules = params.get("rules")
             retries = int(params.get("retry", 3))
             emit_errors = bool(params.get("emit_errors", False))
@@ -138,6 +241,9 @@ def load_config(spec: dict) -> CrawlConfig:
             extract_wildcard = params.get("wildcard")
         elif method == "inspect":
             inspect_enabled = True
+        elif method == "clean_html":
+            rp = params.get("remove_paths") or []
+            clean_paths = tuple([rp] if isinstance(rp, str) else rp)
         elif method == "parse":
             store_rules = params.get("store")
             store_stage_name = (stage.get("handle") or {}).get("store")
@@ -162,12 +268,27 @@ def load_config(spec: dict) -> CrawlConfig:
             )
     # the parse stage's `store` handler names the sink stage; its
     # method+params drive the engine's store step (the reference
-    # late-binds this per task, stage.py:20-31; we resolve at load)
+    # late-binds this per task, stage.py:20-31; we resolve at load).
+    # A clean_html stage may sit between parse and the sink (the
+    # canonical fetch → parse → clean → store shape) — follow through.
     if store_stage_name is not None:
-        sink = stages[store_stage_name]
-        if sink.get("method") in ("directory", "db"):
-            store_method = sink["method"]
-            store_params = dict(sink.get("params") or {})
+        sink_name = store_stage_name
+        hops = 0
+        while (
+            sink_name is not None
+            and stages[sink_name].get("method") == "clean_html"
+        ):
+            sink_name = next(
+                iter((stages[sink_name].get("handle") or {}).values()), None
+            )
+            hops += 1
+            if hops > 10:
+                raise ValueError("clean_html handle chain too deep (cycle?)")
+        if sink_name is not None:
+            sink = stages[sink_name]
+            if sink.get("method") in ("directory", "db"):
+                store_method = sink["method"]
+                store_params = dict(sink.get("params") or {})
     # fail fast on bad rule specs (reference raises per-task; we at load)
     for rules in (fetch_rules, store_rules):
         try:
@@ -195,4 +316,8 @@ def load_config(spec: dict) -> CrawlConfig:
         extract_wildcard=extract_wildcard,
         inspect_enabled=inspect_enabled,
         use_robots=bool(spec.get("robots", False)),
+        init_method=init_method,
+        init_params=init_params,
+        seed_templates=seed_templates,
+        clean_html_paths=clean_paths,
     )

@@ -23,17 +23,22 @@ engine's spec, SURVEY.md §4.3):
   any global sort in the hot path.
 
 Driver-job economy (the N→4N scaling-efficiency lever): a frontier
-round launches exactly FOUR Spark job waves —
-  1. politeness-selection partition histogram (materializes the
-     selected cache; doubles as per-partition lineage),
-  2. results write (fetch join + parse UDF; row counts ride along as
-     ``df.observe`` metrics instead of separate count() jobs),
-  3. new-link dedup chain materialization + per-partition sizes (one
+round launches exactly THREE Spark job waves on the default
+(no-politeness) path —
+  1. results write (fetch join + parse UDF; the selected cache
+     materializes inside this job; row counts ride along as
+     ``df.observe`` metrics instead of separate count() jobs —
+     n_selected is last round's frontier-write observation, and
+     per-partition lineage comes from the checkpointed frontier's
+     parquet footers, driver-local),
+  2. new-link dedup chain materialization + per-partition sizes (one
      collect that yields BOTH the new-link count and the emit_seq
      offsets),
-  4. frontier + seen writes, submitted in parallel threads (both read
+  3. frontier + seen writes, submitted in parallel threads (both read
      only cached data; the next round's frontier size rides along as
      an observation, so empty rounds cost zero jobs).
+A configured politeness budget (or robots) adds one selection-
+histogram wave that materializes the budget-selected cache.
 Everything else (metrics, manifest) is driver-local pyarrow/JSON.
 
 State (frontier / seen / results / metrics) is checkpointed per round
@@ -62,7 +67,9 @@ from memorious_spark.operators.frontier import (
     salt_partitions, seq_from_sizes,
 )
 from memorious_spark.operators.parse import extract_links_df, parse_stage
-from memorious_spark.operators.seen import dedup_new, seen_entries
+from memorious_spark.operators.seen import (
+    _BLOOM_MIN_ROWS, build_bloom, dedup_new, seen_entries, update_bloom,
+)
 from memorious_spark.plans.pipeline import CrawlConfig
 from memorious_spark.plans.storage import RunStore
 
@@ -200,16 +207,16 @@ class CrawlRunner:
             pre = fetched.withColumn("html", F.when(ok_gate, F.col("html")))
             if cfg.extract_enabled:
                 members = self._members(pre, ok_gate)
-            parsed = parse_stage(pre, cfg.parse).withColumn(
-                "_emit", ok_gate & fetch_rule
-            )
+            parsed = parse_stage(
+                pre, cfg.parse, clean_paths=cfg.clean_html_paths
+            ).withColumn("_emit", ok_gate & fetch_rule)
         else:
             pre = fetched.withColumn("_emit", ok_gate & fetch_rule).withColumn(
                 "html", F.when(F.col("_emit"), F.col("html"))
             )
             if cfg.extract_enabled:
                 members = self._members(pre, F.col("_emit"))
-            parsed = parse_stage(pre, cfg.parse)
+            parsed = parse_stage(pre, cfg.parse, clean_paths=cfg.clean_html_paths)
         retrieved = (
             F.coalesce(F.col("retrieved_at_cached"), F.col("warc_ts"))
             if "retrieved_at_cached" in parsed.columns
@@ -262,6 +269,17 @@ class CrawlRunner:
             }
             store.truncate_after(m["last_complete_round"])  # drop partials
         else:
+            if initial_frontier is None and cfg.init_method in (
+                "sequence", "dates", "enumerate",
+            ):
+                # generator init stage compiled from YAML → materialize
+                # the round-0 frontier (sequence `tag` once-only state
+                # lives in the store's shared tables)
+                from memorious_spark.operators.initializers import (
+                    compile_initial_frontier,
+                )
+
+                initial_frontier = compile_initial_frontier(spark, cfg, store)
             if initial_frontier is not None:
                 frontier0 = self._frontier_shape(initial_frontier, depth=F.lit(0))
                 obs0 = Observation()
@@ -281,6 +299,11 @@ class CrawlRunner:
         rnd = start_round
         status = "done"
         pool = ThreadPoolExecutor(max_workers=4)
+        # incrementally-maintained seen bloom (engages past
+        # _BLOOM_MIN_ROWS): built ONCE from the seen snapshot, then
+        # each round ORs in only its new hashes — never rebuilt from
+        # the full set unless growth exceeds the sized capacity
+        bloom, bloom_capacity = None, 0
         while rnd < cfg.max_rounds:
             if store.abort_requested():
                 status = "aborted"
@@ -299,21 +322,45 @@ class CrawlRunner:
             # skip the per-host window entirely (one less shuffle; the
             # reference only parks stages when a limit exists,
             # memorious/model/queue.py:30-37).
-            if cfg.budget_per_host >= 1_000_000_000 and self.robots is None:
+            no_politeness = (
+                cfg.budget_per_host >= 1_000_000_000 and self.robots is None
+            )
+            if no_politeness:
                 selected, carryover = frontier, None
             else:
                 selected, carryover = politeness_dequeue(
                     frontier, cfg.budget_per_host, self.robots
                 )
             selected = salt_partitions(selected).persist()
-            # job 1: per-partition histogram — materializes the cache,
-            # yields n_selected AND the lineage rows in one action
-            hist = (
-                selected.groupBy(F.spark_partition_id().alias("pid"))
-                .agg(F.count("*").alias("rows"))
-                .collect()
-            )
-            n_selected = sum(int(r["rows"]) for r in hist)
+            if no_politeness and frontier_rows >= 0:
+                # fast path — ZERO jobs here: selection kept the whole
+                # frontier, whose exact row count rode last round's
+                # frontier-write observation, and per-partition lineage
+                # comes from the checkpointed frontier's parquet
+                # footers (driver-local). The selected cache
+                # materializes inside the results-write job instead of
+                # a dedicated histogram wave (N→4N efficiency: one
+                # fewer fixed scheduling wave per round).
+                n_selected = frontier_rows
+                lineage = [
+                    dict(round=rnd, stage="fetch_input", partition_id=i, rows=n)
+                    for i, n in enumerate(store.partition_rows("frontier", rnd))
+                ]
+            else:
+                # politeness path (or resume with unknown count): the
+                # per-partition histogram materializes the selected
+                # cache and yields n_selected + lineage in one action
+                hist = (
+                    selected.groupBy(F.spark_partition_id().alias("pid"))
+                    .agg(F.count("*").alias("rows"))
+                    .collect()
+                )
+                n_selected = sum(int(r["rows"]) for r in hist)
+                lineage = [
+                    dict(round=rnd, stage="fetch_input",
+                         partition_id=int(r["pid"]), rows=int(r["rows"]))
+                    for r in hist
+                ]
             ph.mark(f"politeness+salt ({n_selected})")
 
             # fetch = corpus join (broadcast frontier side when small),
@@ -344,6 +391,17 @@ class CrawlRunner:
                 F.count(F.when(F.col("_emit"), 1)).alias("emitted"),
             )
             store_pre = observed.filter(F.col("_emit") & store_rule)
+            if cfg.clean_html_paths:
+                # clean_html store-path transform (operations/clean.py:
+                # 11-26): stored rows carry the re-serialized cleaned
+                # DOM + its new hash; a failed/non-HTML clean passes
+                # the original through (the reference emits data
+                # unchanged when the doc is None)
+                store_pre = store_pre.withColumn(
+                    "text", F.coalesce("clean_text", "text")
+                ).withColumn(
+                    "content_hash", F.coalesce("clean_hash", "content_hash")
+                )
             if cfg.incremental:
                 # skip_incremental: unchanged (url, content_hash) pairs
                 # — replayed rows and same-content re-fetches — are not
@@ -355,7 +413,7 @@ class CrawlRunner:
             stored = sink_rows.observe(
                 obs_store, F.count(F.lit(1)).alias("rows")
             )
-            # job 2: results write (counts ride along as observations)
+            # wave 1: results write (counts ride along as observations)
             store.write_round("results", rnd, stored)
             parse_counts = _obs_counts(obs_parse, "hits", "emitted")
             n_hits = int(parse_counts["hits"])
@@ -408,11 +466,24 @@ class CrawlRunner:
                 if seen is not None
                 else None
             )
+            if seen_keys is not None and seen_count + 1 >= _BLOOM_MIN_ROWS:
+                if bloom is not None and seen_count + 1 > bloom_capacity:
+                    bloom = None  # past design capacity → rebuild below
+                if bloom is None:
+                    # one full build (first engagement or resume), sized
+                    # with 4× headroom so rounds of incremental inserts
+                    # stay inside the designed fpp
+                    bloom_capacity = max((seen_count + 1) * 4, _BLOOM_MIN_ROWS)
+                    bloom = build_bloom(
+                        seen_keys.distinct(), "url_hash", bloom_capacity
+                    )
             # new0 persisted: repartitionByRange's range-sampling pass
             # would otherwise execute the whole explode/window/anti-join
             # chain TWICE (once to sample bounds, once for real)
-            new0 = dedup_new(cands, seen_keys, seen_count=seen_count + 1).persist()
-            # job 3: materialize the dedup chain range-partitioned by the
+            new0 = dedup_new(
+                cands, seen_keys, seen_count=seen_count + 1, bloom=bloom
+            ).persist()
+            # wave 2: materialize the dedup chain range-partitioned by the
             # emit order; ONE collect yields the per-partition sizes (→
             # emit_seq offsets) and their sum (→ n_new)
             rp = range_by_order(new0, _ORDER).persist()
@@ -425,6 +496,17 @@ class CrawlRunner:
             new_links = seq_from_sizes(rp, _ORDER, sizes, start=next_seq)
             ph.mark(f"dedup+emit_seq ({n_new})")
             next_seq += n_new
+            if bloom is not None:
+                # incremental maintenance: OR in this round's seen
+                # additions (new links off the rp cache + the few
+                # redirect-source tags off the parsed cache) so the
+                # next probe never sees a false negative
+                bloom = update_bloom(
+                    bloom,
+                    rp.select("url_hash").unionByName(
+                        redirect_tags.select("url_hash")
+                    ),
+                )
 
             new_frontier_rows = new_links.select(
                 "url", "url_norm", "url_hash",
@@ -463,7 +545,7 @@ class CrawlRunner:
                     "redirect", value="url_norm", expire_days=cfg.expire_days,
                 )
             )
-            # job 4: frontier + seen (+ cache/inc-tag appends in
+            # wave 3: frontier + seen (+ cache/inc-tag appends in
             # incremental mode) in parallel threads — all read only
             # cached data, so the jobs overlap fully
             futs = [
@@ -506,15 +588,11 @@ class CrawlRunner:
             ph.mark(f"frontier+seen write (next={frontier_rows})")
             seen_count = seen_count + n_new  # redirect tags are few; bloom sizing only
 
-            # metrics: round summary + per-partition lineage — collected
-            # in job 1; a driver-local 1-partition parquet (a distributed
-            # union-write of 36 rows costs whole Spark jobs of
-            # scheduling latency per round)
-            metrics_rows = [
-                dict(round=rnd, stage="fetch_input",
-                     partition_id=int(r["pid"]), rows=int(r["rows"]))
-                for r in hist
-            ] + [
+            # metrics: round summary + per-partition lineage (footer- or
+            # histogram-derived above); a driver-local 1-partition
+            # parquet (a distributed union-write of 36 rows costs whole
+            # Spark jobs of scheduling latency per round)
+            metrics_rows = lineage + [
                 dict(round=rnd, stage=stage, partition_id=-1, rows=n)
                 for stage, n in [
                     ("round_summary", n_selected), ("fetched", n_hits),

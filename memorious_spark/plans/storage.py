@@ -69,6 +69,22 @@ class RunStore:
             pa.Table.from_pylist(rows), path / "part-00000.parquet"
         )
 
+    def partition_rows(self, table: str, rnd: int) -> list[int]:
+        """Per-partition row counts of a checkpointed round table, read
+        from the parquet FOOTERS (driver-local, microseconds) — each
+        written file is one partition of the job that produced it, so
+        this is per-partition lineage with zero Spark jobs. (Iceberg
+        manifests carry the same per-file row counts.)"""
+        import pyarrow.parquet as pq
+
+        p = Path(self.round_path(table, rnd))
+        if not p.is_dir():
+            return []
+        return [
+            pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(p.glob("*.parquet"))
+        ]
+
     def read_round(
         self, spark: SparkSession, table: str, rnd: int, schema: str | None = None
     ) -> DataFrame | None:
@@ -142,6 +158,19 @@ class RunStore:
             target.rename(old)
         tmp.rename(target)
         shutil.rmtree(old, ignore_errors=True)
+
+    def flush_crawler(self) -> None:
+        """The reference's ``crawler.flush()`` (memorious/logic/
+        crawler.py:89-96): drop EVERY crawler-scoped shared table —
+        tags, http cache, incremental markers, sequence once-only
+        state, db/ftm sink tables — so the next run behaves like the
+        crawler's very first (everything re-fetches and re-stores).
+        Per-run round data (frontier/seen/results under run dirs) is
+        untouched: the reference flushes its Redis/SQL state, not its
+        archived output."""
+        shared_root = self.dir.parent / "_shared"
+        if shared_root.is_dir():
+            shutil.rmtree(shared_root)
 
     def commit_round(self, rnd: int, stats: dict) -> None:
         """Advance the manifest: round ``rnd`` is durable and complete."""

@@ -5,15 +5,23 @@ round loop reproduces exactly; this module is the continuous-ingest
 variant a production frontier needs: new seed URLs (or re-crawl
 schedule rows) arrive as a stream, each micro-batch flows through the
 SAME stage operators (canonicalize → dedup vs the persistent seen set
-→ fetch join → parse), and results append to the run tables. The
-stage logic is shared with the batch runner — ``foreachBatch``
-delegates to the identical DataFrame functions, so semantics can't
-drift between the two faces.
+→ http-cache probe → fetch join → 304 replay → parse), and results
+append to the run tables. The stage logic is shared with the batch
+runner — ``foreachBatch`` delegates to the identical DataFrame
+functions, so semantics can't drift between the two faces.
+
+Face parity (round-3): the per-host politeness budget runs ON the
+stream as the keyed-state park/release operator
+(:mod:`memorious_spark.streaming.stateful` — the reference's parked
+queue, queue.py:30-37, living in Spark's state store), and a
+``cache_store`` wires the same crawler-scoped ``http_cache`` table the
+batch face uses (conditional-GET replay, http.py:141-178).
 
 Checkpointing: Spark's streaming checkpoint handles the source
-offsets; the engine's own seen/results tables stay the source of
-truth (idempotent via anti-join, so at-least-once delivery from the
-source is fine — the seen set makes re-delivered URLs no-ops).
+offsets AND the politeness state; the engine's own seen/results
+tables stay the source of truth (idempotent via anti-join, so
+at-least-once delivery from the source is fine — the seen set makes
+re-delivered URLs no-ops).
 """
 
 from __future__ import annotations
@@ -21,9 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from memorious_spark.functions.urls import hash_col, host_col, norm_col, scheme_ok_col
+from memorious_spark.operators.cache import (
+    HTTP_CACHE_SCHEMA, apply_replay, cache_entries, cache_probe,
+)
 from memorious_spark.operators.fetch import fetch_stage
 from memorious_spark.operators.parse import ParseConfig, parse_stage
 from memorious_spark.operators.seen import dedup_new
+from memorious_spark.streaming.stateful import politeness_release
 
 __all__ = ["stream_seed_source", "run_streaming_crawl"]
 
@@ -45,13 +57,34 @@ def run_streaming_crawl(
     checkpoint_dir: str,
     parse_config: ParseConfig | None = None,
     seen_dir: str | None = None,
+    politeness_budget: int | None = None,
+    politeness_timeout_ms: int | None = None,
+    cache_store=None,
+    run_id: str = "stream",
+    now_ts: str = "2024-01-01 00:00:00",
 ):
     """Continuous crawl ingest: every micro-batch of seed URLs is
-    canonicalized, deduped against the persistent seen table, fetched
-    (corpus join) and parsed; parsed rows append to ``out_dir`` and
-    their hashes to the seen table. Returns the StreamingQuery."""
+    canonicalized, deduped against the persistent seen table, probed
+    against the crawler's http cache (``cache_store`` — a RunStore;
+    unchanged pages replay their cached hash instead of re-hashing),
+    fetched (corpus join) and parsed; parsed rows append to
+    ``out_dir`` and their hashes to the seen table.
+
+    ``politeness_budget`` applies the per-host budget ON the stream
+    via the keyed-state park/release operator: at most ``budget`` urls
+    per host per trigger, FIFO, the excess parked in checkpointed
+    state and drained on later triggers. Returns the StreamingQuery."""
     parse_config = parse_config or ParseConfig()
     seen_path = seen_dir or f"{out_dir}/_seen"
+
+    stream = seeds_stream
+    if politeness_budget is not None:
+        cands = seeds_stream.withColumn("host", host_col(F.col("url")))
+        stream = politeness_release(
+            cands.select("host", "url", "emit_seq"),
+            politeness_budget,
+            timeout_ms=politeness_timeout_ms,
+        ).select("url", "emit_seq")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         frontier = (
@@ -77,16 +110,42 @@ def run_streaming_crawl(
         # append are harmless: the seen probe is set-membership).
         # The reverse order would lose data: seen-first makes a retry's
         # anti-join drop the batch before its results ever landed.
-        fetched = fetch_stage(fresh, corpus)
-        parsed = parse_stage(fetched, parse_config)
+        use_cache = cache_store is not None
+        if use_cache:
+            cache_df = cache_store.read_shared(
+                spark, "http_cache", HTTP_CACHE_SCHEMA
+            )
+            probe_in = cache_probe(fresh, cache_df, now_ts)
+        else:
+            probe_in = fresh
+        fetched = fetch_stage(probe_in, corpus)
+        if use_cache:
+            fetched = apply_replay(fetched)
+        parsed = parse_stage(fetched, parse_config).persist()
         parsed.drop("link_titles").write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}"
         )
+        if use_cache:
+            # same table, same shape as the batch face's appends
+            cache_store.append_shared(
+                "http_cache",
+                cache_entries(
+                    parsed.withColumn("_emit", F.col("ok")).withColumn(
+                        "retrieved_at",
+                        F.coalesce(
+                            F.col("retrieved_at_cached"), F.col("warc_ts")
+                        ),
+                    ),
+                    run_id,
+                    now_ts=now_ts,
+                ),
+            )
         fresh.select("url_hash").write.mode("append").parquet(seen_path)
+        parsed.unpersist()
         fresh.unpersist()
 
     return (
-        seeds_stream.writeStream.foreachBatch(process_batch)
+        stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -275,6 +275,35 @@ def test_hot_host_budgeted_crawl_matches_oracle(spark, tmp_path_factory):
     corpus.unpersist()
 
 
+def test_forced_shuffle_join_matches_broadcast_crawl(
+    spark, corpus, engine_run, tmp_path_factory, monkeypatch
+):
+    """The 10^10-frontier fallback path (frontier past the broadcast
+    ceiling → SHUFFLE_HASH corpus join, fetch.py) must produce the
+    byte-same crawl as the broadcast path — exercised end-to-end, not
+    just plan-asserted."""
+    monkeypatch.setenv("MEMSPARK_FORCE_SHUFFLE_JOIN", "1")
+    store_f = RunStore(tmp_path_factory.mktemp("runs_sj"), "e2e", "runSJ")
+    result_f = CrawlRunner(spark, CFG, store_f).run(corpus)
+    monkeypatch.delenv("MEMSPARK_FORCE_SHUFFLE_JOIN")
+
+    store_b, result_b = engine_run
+    assert (result_f.pages_fetched, result_f.pages_stored, result_f.urls_seen) == (
+        result_b.pages_fetched, result_b.pages_stored, result_b.urls_seen,
+    )
+    rows_f = sorted(
+        (r["emit_seq"], r["url"], r["content_hash"])
+        for r in store_f.read_all(spark, "results", 60)
+        .select("emit_seq", "url", "content_hash").collect()
+    )
+    rows_b = sorted(
+        (r["emit_seq"], r["url"], r["content_hash"])
+        for r in store_b.read_all(spark, "results", 60)
+        .select("emit_seq", "url", "content_hash").collect()
+    )
+    assert rows_f == rows_b
+
+
 def test_content_hash_is_sha1_of_body(spark, engine_run, corpus_dict):
     store, _ = engine_run
     stored = store.read_all(spark, "results", 60)

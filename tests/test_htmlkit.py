@@ -40,6 +40,37 @@ def test_detect_charset():
     assert hk.detect_charset(None, b"\xff\xfe\x00a") == "utf-16"
 
 
+def test_detect_charset_byte_sniff():
+    """Header-silent bodies (memorious/logic/http.py:261-268 guesses
+    from bytes): <meta charset> scan, then strict-utf-8 trial with
+    iso-8859-1 as the legacy fallback."""
+    meta = '<html><head><meta charset="iso-8859-1"></head>café</html>'
+    assert hk.detect_charset(None, meta.encode("iso-8859-1")) == "iso-8859-1"
+    httpequiv = (
+        b'<html><head><meta http-equiv="Content-Type" '
+        b'content="text/html; charset=ISO-8859-1"></head>caf\xe9</html>'
+    )
+    assert hk.detect_charset(None, httpequiv) == "iso-8859-1"
+    # a declared header still wins over the meta tag
+    assert hk.detect_charset(
+        "text/html; charset=utf-8", meta.encode("iso-8859-1")
+    ) == "utf-8"
+    # undeclared latin-1 bytes: invalid utf-8 → iso-8859-1 heuristic
+    assert hk.detect_charset(None, b"<p>caf\xe9 cr\xe8me</p>") == "iso-8859-1"
+    assert hk.extract_text(b"<p>caf\xe9</p>", None) == b"<p>caf\xe9</p>".decode(
+        "iso-8859-1"
+    )
+    # valid utf-8 stays utf-8
+    assert hk.detect_charset(None, "<p>café</p>".encode()) == "utf-8"
+    # a multibyte sequence cut at the 1 KiB window is not evidence
+    body = b"a" * 1023 + "é".encode() + b"tail"  # é straddles byte 1024
+    assert hk.detect_charset(None, body) == "utf-8"
+    # bogus meta declaration falls through to the byte trial
+    assert hk.detect_charset(
+        None, b'<meta charset="not-a-codec">caf\xe9' + b"x" * 1100
+    ) == "iso-8859-1"
+
+
 def test_title_collapsed():
     root = hk.parse_html(PAGE)
     assert hk.page_title(root) == "My Title"

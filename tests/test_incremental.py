@@ -128,3 +128,23 @@ def test_metrics_show_replay_economy(spark, runs):
     _s1, res1, _s2, res2 = runs
     assert res2.pages_fetched == res1.pages_fetched  # same reachability
     assert res2.pages_stored < res1.pages_stored / 3
+
+
+def test_flush_crawler_resets_to_first_run(spark, runs, tmp_path_factory):
+    """crawler.flush() (memorious/logic/crawler.py:89-96): after the
+    flush, an incremental run behaves like the crawler's very first —
+    no cache replays, everything re-stores."""
+    store1, res1, *_ = runs
+    root = store1.dir.parent.parent
+    store3 = RunStore(root, "inc", "r3")
+    store3.flush_crawler()
+    assert store3.read_shared(spark, "http_cache") is None
+    assert store3.read_shared(spark, "inc_tags") is None
+    corpus = build_corpus(spark, _docs(spark), N_DOCS).persist()
+    corpus.count()
+    res3 = CrawlRunner(spark, CFG, store3).run(
+        corpus, now_ts="2024-01-04 00:00:00"
+    )
+    corpus.unpersist()
+    assert res3.pages_stored == res1.pages_stored  # like run 1 again
+    assert res3.pages_fetched == res1.pages_fetched

@@ -88,6 +88,68 @@ def test_dedup_new_bloom_path(spark):
     assert got == list(range(1, 1000, 2))
 
 
+def test_bloom_incremental_update_no_false_negatives(spark):
+    from memorious_spark.operators.seen import build_bloom, update_bloom
+
+    seen0 = spark.range(0, 1000, 2).select(F.col("id").alias("url_hash"))
+    bloom = build_bloom(seen0, "url_hash", expected=10_000)
+    # OR in a later round's additions instead of rebuilding
+    bloom = update_bloom(
+        bloom, spark.range(5000, 5100).select(F.col("id").alias("url_hash"))
+    )
+    cands = (
+        spark.range(1000)
+        .select(F.col("id").alias("url_hash"))
+        .unionByName(spark.range(5000, 5200).select(F.col("id").alias("url_hash")))
+    )
+    seen_all = seen0.unionByName(
+        spark.range(5000, 5100).select(F.col("id").alias("url_hash"))
+    )
+    out = dedup_new(cands, seen_all, seen_count=10_000_000, bloom=bloom)
+    got = sorted(r["url_hash"] for r in out.collect())
+    assert got == list(range(1, 1000, 2)) + list(range(5100, 5200))
+
+
+def test_runner_incremental_bloom_exactness(spark, tmp_path):
+    """Force the runner's incremental-bloom regime (engage threshold 1)
+    and assert the crawl result equals the plain anti-join crawl."""
+    from memorious_spark.plans import runner as runner_mod
+    from memorious_spark.plans.pipeline import CrawlConfig
+    from memorious_spark.plans.runner import CrawlRunner
+    from memorious_spark.plans.storage import RunStore
+    from memorious_spark.sources.corpus import build_corpus, seed_urls
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("body words").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    corpus = build_corpus(spark, docs, 100).persist()
+    corpus.count()
+    cfg = CrawlConfig(name="bloomcrawl", seeds=tuple(seed_urls(3)))
+
+    def crawl(run_id):
+        store = RunStore(tmp_path, "bloomcrawl", run_id)
+        res = CrawlRunner(spark, cfg, store).run(corpus)
+        rows = store.read_all(spark, "results", res.rounds).select(
+            "url", "emit_seq", "content_hash"
+        ).collect()
+        return res, sorted(map(tuple, rows))
+
+    res_plain, rows_plain = crawl("plain")
+    orig = runner_mod._BLOOM_MIN_ROWS
+    runner_mod._BLOOM_MIN_ROWS = 1
+    try:
+        res_bloom, rows_bloom = crawl("bloom")
+    finally:
+        runner_mod._BLOOM_MIN_ROWS = orig
+    corpus.unpersist()
+    assert rows_bloom == rows_plain
+    assert (res_bloom.pages_fetched, res_bloom.urls_seen) == (
+        res_plain.pages_fetched, res_plain.urls_seen,
+    )
+
+
 # ---- sinks ------------------------------------------------------------------
 
 def test_merge_upsert_first_last_seen(spark):
@@ -330,6 +392,48 @@ def test_embedding_dup_and_knn(spark):
     assert [r["vec_id"] for r in knn] == [0, 1]
     ann = similarity.knn_lsh(emb, [1.0, 0.0, 0.0], k=2, n_planes=2).collect()
     assert 0 in [r["vec_id"] for r in ann]  # query's own bucket contains it
+
+
+def test_knn_lsh_multiprobe_recall(spark):
+    """Hamming-1 multiprobe dominates single-probe recall vs brute
+    force: deterministic vector cloud, same planes, recall@k ordering
+    must hold (and multiprobe scans planes+1 buckets, a strict
+    superset of the single probe's candidate set)."""
+    import math
+
+    n_planes, k = 6, 10
+    rows = [
+        (
+            i,
+            [
+                math.sin(0.1 * i + 0.7 * d) + 0.05 * ((i * 31 + d * 17) % 13 - 6)
+                for d in range(8)
+            ],
+        )
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[42][1]
+    truth = {
+        r["vec_id"]
+        for r in similarity.knn_brute_force(emb, q, k=k).collect()
+    }
+    single = {
+        r["vec_id"]
+        for r in similarity.knn_lsh(
+            emb, q, k=k, n_planes=n_planes, multiprobe=False
+        ).collect()
+    }
+    multi = {
+        r["vec_id"]
+        for r in similarity.knn_lsh(emb, q, k=k, n_planes=n_planes).collect()
+    }
+    probes = similarity.query_probe_buckets(q, n_planes)
+    assert len(probes) == n_planes + 1 and len(set(probes)) == len(probes)
+    assert len(multi & truth) >= len(single & truth)
+    # the query itself plus a healthy share of true neighbors
+    assert 42 in multi
+    assert len(multi & truth) >= k // 2
 
 
 # ---- textops -------------------------------------------------------------------

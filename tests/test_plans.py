@@ -42,6 +42,29 @@ def test_fetch_join_broadcasts_frontier(spark, tmp_path):
     assert "SortMergeJoin" not in plan, plan[:2000]
 
 
+def test_fetch_join_shuffle_fallback_plan(spark, tmp_path):
+    """The 10^10-frontier fallback (frontier too big to broadcast):
+    SHUFFLE_HASH with the hash build on the frontier side — the corpus
+    is hash-exchanged, never SORTED (a sort-merge join of the 100 TB
+    side is the plan this test forbids)."""
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"), F.lit("en").alias("lang")
+    )
+    corpus = build_corpus(spark, docs, 200)
+    frontier = corpus.limit(10).select(
+        "url", F.col("url").alias("url_norm"), F.xxhash64("url").alias("url_hash"),
+        F.lit("h").alias("host"), F.lit(0).alias("depth"), F.lit(0.0).alias("priority"),
+        F.lit(None).cast("string").alias("src_url"),
+        F.lit(None).cast("int").alias("link_idx"),
+        F.lit(0).cast("long").alias("emit_seq"), F.lit(0).alias("attempt"),
+    )
+    fetched = fetch_stage(frontier, corpus, broadcast_frontier=False)
+    plan = _plan(fetched)
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
 def test_parquet_scan_pushdown(spark, tmp_path):
     path = str(tmp_path / "pages")
     docs = spark.range(500).select(

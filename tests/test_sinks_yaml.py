@@ -193,3 +193,30 @@ def test_aggregator_fires_after_drain(spark, corpus, tmp_path_factory):
     res = CrawlRunner(spark, cfg, store).run(corpus)
     exported = spark.read.json(str(out))
     assert exported.count() == res.pages_stored
+
+
+def test_aggregator_module_function_latebind(spark, corpus, tmp_path_factory):
+    """Any ``module:function`` aggregator resolves via importlib at
+    fire time (crawler.py:66-81); unresolvable methods raise the
+    reference's Unknown-method error."""
+    out = tmp_path_factory.mktemp("agg2") / "count.txt"
+    cfg = load_yaml(_yaml("""
+  store:
+    method: db
+    params: {table: pages2, unique: [url]}
+""", extra=(
+        "aggregator: {method: 'tests.helpers_agg:count_to_file', "
+        f"params: {{path: {out}}}}}"
+    )))
+    store = RunStore(tmp_path_factory.mktemp("aggruns2"), cfg.name, "r1")
+    res = CrawlRunner(spark, cfg, store).run(corpus)
+    assert int(out.read_text()) == res.pages_stored > 0
+
+    from memorious_spark.operators.sinks import run_aggregator
+
+    with pytest.raises(ValueError, match="Unknown method"):
+        run_aggregator(
+            spark, store, {"method": "tests.helpers_agg:nope"}, None
+        )
+    with pytest.raises(ValueError, match="unknown aggregator"):
+        run_aggregator(spark, store, {"method": "no_colon_here"}, None)

@@ -1,8 +1,10 @@
 """Streaming face: micro-batch seed ingest through the shared stage
-operators, idempotent via the seen-set anti-join."""
+operators, idempotent via the seen-set anti-join; face parity with
+the batch engine's politeness + http-cache semantics."""
 
 from pyspark.sql import functions as F
 
+from memorious_spark.plans.storage import RunStore
 from memorious_spark.sources.corpus import build_corpus, doc_url
 from memorious_spark.streaming.frontier_stream import (
     run_streaming_crawl, stream_seed_source,
@@ -46,6 +48,112 @@ def test_streaming_seed_ingest(spark, tmp_path):
     got2 = spark.read.parquet(f"{out_dir}/batch=*")
     urls2 = [r["final_url"] for r in got2.select("final_url").collect()]
     assert sorted(urls2) == sorted(urls1 | {doc_url(5)})  # url 1 NOT refetched
+    corpus.unpersist()
+
+
+def test_streaming_crawl_politeness_parks_hot_host(spark, tmp_path):
+    """Face parity: the keyed-state politeness operator wired INTO the
+    streaming crawl — a hot host's overflow parks across triggers while
+    other hosts proceed."""
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"), F.lit("txt").alias("text"), F.lit("en").alias("lang")
+    )
+    corpus = build_corpus(spark, docs, 60).persist()
+    corpus.count()
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # doc ids 1, 8, 15 all live on h1 (id % 7 == 1); id 2 on h2
+    spark.createDataFrame(
+        [(doc_url(1), 0), (doc_url(8), 1), (doc_url(15), 2), (doc_url(2), 3)],
+        "url string, emit_seq long",
+    ).coalesce(1).write.parquet(str(seeds_dir / "b1"))
+    stream = stream_seed_source(spark, str(seeds_dir) + "/*")
+    q = run_streaming_crawl(
+        spark, stream, corpus, out_dir, ckpt, politeness_budget=2
+    )
+    q.awaitTermination(120)
+    urls1 = {
+        r["final_url"]
+        for r in spark.read.parquet(f"{out_dir}/batch=*").collect()
+    }
+    # FIFO: h1 released 1 and 8 (15 parked in state), h2 unaffected
+    assert urls1 == {doc_url(1), doc_url(8), doc_url(2)}
+
+    # the next h1 arrival wakes the host: parked 15 drains FIFO first
+    spark.createDataFrame(
+        [(doc_url(22), 10)], "url string, emit_seq long"
+    ).coalesce(1).write.parquet(str(seeds_dir / "b2"))
+    q2 = run_streaming_crawl(
+        spark, stream, corpus, out_dir, ckpt, politeness_budget=2
+    )
+    q2.awaitTermination(120)
+    urls2 = {
+        r["final_url"]
+        for r in spark.read.parquet(f"{out_dir}/batch=*").collect()
+    }
+    assert urls2 == urls1 | {doc_url(15), doc_url(22)}
+    corpus.unpersist()
+
+
+def test_streaming_cache_replay_across_runs(spark, tmp_path):
+    """Face parity: the streaming crawl probes + feeds the SAME
+    crawler-scoped http_cache the batch face uses — a second streaming
+    run over an unchanged corpus replays cached hashes instead of
+    re-hashing, and appends cache rows only for genuinely new pages."""
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"), F.lit("txt").alias("text"), F.lit("en").alias("lang")
+    )
+    corpus = build_corpus(spark, docs, 60).persist()
+    corpus.count()
+    store = RunStore(tmp_path / "cstore", "scrawl", "s1")
+
+    def run_once(tag, urls, run_id, now_ts):
+        seeds_dir = tmp_path / f"seeds_{tag}"
+        seeds_dir.mkdir()
+        out_dir = str(tmp_path / f"out_{tag}")
+        spark.createDataFrame(
+            [(u, i) for i, u in enumerate(urls)], "url string, emit_seq long"
+        ).coalesce(1).write.parquet(str(seeds_dir / "b1"))
+        q = run_streaming_crawl(
+            spark,
+            stream_seed_source(spark, str(seeds_dir) + "/*"),
+            corpus,
+            out_dir,
+            str(tmp_path / f"ckpt_{tag}"),
+            cache_store=store,
+            run_id=run_id,
+            now_ts=now_ts,
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(f"{out_dir}/batch=*")
+
+    first = run_once(
+        "r1", [doc_url(1), doc_url(2), doc_url(4)], "s1",
+        "2024-01-02 00:00:00",
+    )
+    hashes1 = {r["final_url"]: r["content_hash"] for r in first.collect()}
+    cache = store.read_shared(spark, "http_cache")
+    assert cache.count() == 3  # every ok page cached
+
+    # run 2 (fresh seen/out, same cache): unchanged pages replay
+    second = run_once(
+        "r2", [doc_url(1), doc_url(2), doc_url(5)], "s2",
+        "2024-01-03 00:00:00",
+    )
+    rows2 = {r["final_url"]: r for r in second.collect()}
+    for u in (doc_url(1), doc_url(2)):
+        assert rows2[u]["replayed"] is True
+        assert rows2[u]["content_hash"] == hashes1[u]
+    assert not rows2[doc_url(5)]["replayed"]
+    by_run = {
+        r["run_id"]: r["n"]
+        for r in store.read_shared(spark, "http_cache")
+        .groupBy("run_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_run == {"s1": 3, "s2": 1}  # only the new page re-cached
     corpus.unpersist()
 
 
