@@ -12,7 +12,11 @@ transport is injectable and the RECURSION is the engine's:
   through ``list_dir(path) -> [{name, is_dir, size}]`` (the iterated-
   explode mapping SURVEY §2.1 gave these connectors), yielding one
   row per FILE with its depth and parent — a plain DataFrame feeding
-  the normal pipeline;
+  the normal pipeline. The listing walk is inherently sequential
+  (each PROPFIND/NLST answer decides what to list next), but the
+  accumulated rows need not live in driver memory: pass ``spool_dir``
+  and file rows stream to parquet in batches, returned as an
+  out-of-core DataFrame — the same escape the REST source has;
 - :func:`retrieve_files` fetches file bodies executor-parallel via
   ``retrieve(path) -> bytes`` in ``mapInPandas`` (the RETR half of
   ftp_fetch), returning payload + sha1 + size columns.
@@ -36,13 +40,53 @@ def listing_source(
     roots: list[str],
     max_depth: int = 32,
     max_entries: int = 1_000_000,
+    spool_dir: str | None = None,
+    spool_batch: int = 100_000,
 ) -> DataFrame:
     """BFS over folders; one row per file. Each folder is listed
-    exactly once (cycle-safe on listings that repeat entries)."""
+    exactly once (cycle-safe on listings that repeat entries).
+
+    ``spool_dir`` bounds driver memory: every ``spool_batch`` file
+    rows flush to a parquet part there and the return value reads the
+    spool back — a 10^8-file tree costs O(batch) driver memory instead
+    of O(files). (The folder seen-set stays in memory: folders are
+    orders of magnitude fewer than files.)"""
     rows: list[tuple] = []
     seen: set[str] = set()
+    n_total = 0
+    n_parts = 0
+
+    def _flush() -> None:
+        nonlocal rows, n_parts
+        if not rows or spool_dir is None:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        p = Path(spool_dir)
+        p.mkdir(parents=True, exist_ok=True)
+        schema = pa.schema(
+            [
+                ("path", pa.string()), ("parent", pa.string()),
+                ("depth", pa.int32()), ("size", pa.int64()),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pylist(
+                [
+                    dict(path=a, parent=b, depth=c, size=d)
+                    for a, b, c, d in rows
+                ],
+                schema=schema,
+            ),
+            p / f"part-{n_parts:05d}.parquet",
+        )
+        n_parts += 1
+        rows = []
+
     frontier = [(r.rstrip("/"), 0) for r in roots]
-    while frontier and len(rows) < max_entries:
+    while frontier and n_total < max_entries:
         path, depth = frontier.pop(0)
         if path in seen or depth > max_depth:
             continue
@@ -53,6 +97,12 @@ def listing_source(
                 frontier.append((child, depth + 1))
             else:
                 rows.append((child, path, depth, int(entry.get("size") or 0)))
+                n_total += 1
+        if spool_dir is not None and len(rows) >= spool_batch:
+            _flush()
+    if spool_dir is not None:
+        _flush()
+        return spark.read.schema(LISTING_SCHEMA).parquet(spool_dir)
     return spark.createDataFrame(rows, LISTING_SCHEMA)
 
 

@@ -31,6 +31,24 @@ def test_listing_walks_tree(spark):
     assert rows["/root/a.txt"]["size"] == 3
 
 
+def test_listing_spools_out_of_core(spark, tmp_path):
+    """spool_dir bounds driver memory: rows flush to parquet parts in
+    batches and the result reads back identical to the in-memory path."""
+    def lister(path):
+        return TREE.get(path, [])
+
+    spool = tmp_path / "spool"
+    df = listing_source(
+        spark, lister, ["/root"], spool_dir=str(spool), spool_batch=1
+    )
+    rows = {r["path"]: r["size"] for r in df.collect()}
+    assert rows == {
+        "/root/a.txt": 3, "/root/sub/b.txt": 5, "/root/sub/loop/c.bin": 1,
+    }
+    # batch=1 → one part per file row
+    assert len(list(spool.glob("part-*.parquet"))) == 3
+
+
 def test_retrieve_files_parallel(spark):
     def lister(path):
         return TREE.get(path, [])
