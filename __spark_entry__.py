@@ -34,6 +34,7 @@ _STOPWORDS = (" the ", " a ", " and ", " of ", " to ")
 N_PERM, N_BANDS = 16, 4
 KNN_PLANES = 6
 EMB_DIM = 64
+IVF_K, IVF_NPROBE, IVF_SPACING = 8, 2, 37
 LSH_BANDS, LSH_PPB = 4, 4
 
 
@@ -250,6 +251,12 @@ def _emb_lsh_pairs_sql(threshold: float = 0.35) -> str:
 
 _F64_DOT = (
     "(SELECT sum(({a})[j]::DOUBLE * ({b})[j]::DOUBLE) "
+    "FROM unnest(generate_series(1, {dim})) t(j))"
+)
+
+_F64_DIST2 = (
+    "(SELECT sum((({a})[j]::DOUBLE - ({b})[j]::DOUBLE) "
+    "* (({a})[j]::DOUBLE - ({b})[j]::DOUBLE)) "
     "FROM unnest(generate_series(1, {dim})) t(j))"
 )
 
@@ -808,6 +815,22 @@ pipeline:
             n_planes=KNN_PLANES,
         )
 
+    def ann_ivf_knn(spark, sf_dir):
+        """IVF ANN (round-3): deterministic strided seed centroids,
+        nearest-centroid posting lists, nprobe=2 probe + exact cosine
+        re-rank — the coarse-quantizer scale path next to the LSH one."""
+        return similarity.knn_ivf(
+            _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
+            n_centroids=IVF_K, nprobe=IVF_NPROBE, spacing=IVF_SPACING,
+        )
+
+    def dedup_components_op(spark, sf_dir):
+        """Connected components over the minhash candidate pairs —
+        cluster id = min doc_id of the component (the canonical doc a
+        dedup pipeline keeps)."""
+        pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+        return dedup.dedup_components(pairs)
+
     # -- text analysis -----------------------------------------------------
     def lang_id(spark, sf_dir):
         return _docs(spark, sf_dir).select(
@@ -855,18 +878,23 @@ pipeline:
 
         ship_package(spark)
         docs = _docs(spark, sf_dir)
+        day = (F.col("doc_id") % 28 + 1).cast("string")
         raw = (
-            F.when(F.col("doc_id") % 4 == 0,
-                   F.concat(F.lit("2024-01-"),
-                            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")))
-            .when(F.col("doc_id") % 4 == 1,
-                  F.concat(F.lit("[2023-06-"),
-                           F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
-                           F.lit("]")))
-            .when(F.col("doc_id") % 4 == 2,
-                  F.concat(F.lit("Published on March "),
-                           (F.col("doc_id") % 28 + 1).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit("2024-01-"), F.lpad(day, 2, "0")))
+            .when(F.col("doc_id") % 5 == 1,
+                  F.concat(F.lit("[2023-06-"), F.lpad(day, 2, "0"), F.lit("]")))
+            .when(F.col("doc_id") % 5 == 2,
+                  F.concat(F.lit("Published on March "), day,
                            F.lit(", 2021 by staff")))
+            .when(F.col("doc_id") % 5 == 3,
+                  # de/fr/es month-name shapes (round-3 dateparser-
+                  # locale breadth), rotating by doc_id
+                  F.when(F.col("doc_id") % 3 == 0,
+                         F.concat(day, F.lit(". Januar 2024")))
+                  .when(F.col("doc_id") % 3 == 1,
+                        F.concat(F.lit("le "), day, F.lit(" janvier 2024")))
+                  .otherwise(F.concat(day, F.lit(" de enero de 2024"))))
             .otherwise(F.lit("no date here"))
         )
         iso = iso_date_udf()
@@ -992,6 +1020,8 @@ pipeline:
         "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
         "embedding_knn": embedding_knn,
         "ann_lsh_knn": ann_lsh_knn,
+        "ann_ivf_knn": ann_ivf_knn,
+        "dedup_components": dedup_components_op,
         "lang_id": lang_id,
         "text_quality": text_quality,
         "doc_fingerprint": doc_fingerprint,
@@ -1327,6 +1357,52 @@ def oracle_sql() -> dict[str, str]:
                   IN ({", ".join(["0"] + [str(1 << p) for p in range(KNN_PLANES)])})
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
+        "ann_ivf_knn": f"""
+            WITH cent AS (
+              SELECT CAST(vec_id / {IVF_SPACING} AS INT) AS cid,
+                     embedding AS cv
+              FROM embeddings
+              WHERE vec_id % {IVF_SPACING} = 0
+                AND vec_id < {IVF_K * IVF_SPACING}
+            ),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            qd AS (
+              SELECT c.cid,
+                     {_F64_DIST2.format(a='q.qv', b='c.cv', dim=EMB_DIM)} AS d
+              FROM cent c, q
+            ),
+            probes AS (SELECT cid FROM qd ORDER BY d, cid LIMIT {IVF_NPROBE}),
+            assign AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_F64_DIST2.format(a='e.embedding', b='c.cv', dim=EMB_DIM)}, c.cid
+                     ) AS rn
+              FROM embeddings e CROSS JOIN cent c
+            )
+            SELECT b.vec_id,
+                   round({_cosine_sql('b.embedding', 'q.qv')}, 6) AS cosine
+            FROM assign b, q
+            WHERE b.rn = 1 AND b.cid IN (SELECT cid FROM probes)
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE {_SHINGLES_CTE.lstrip().rstrip()},
+            mins AS ({_minhash_sql_mins()}),
+            bands AS ({_minhash_sql_bands()}),
+            prs AS (SELECT DISTINCT id_a, id_b FROM ({band_joins})),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM prs
+              UNION
+              SELECT id_b, id_a FROM prs
+            ),
+            reach(id, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id, min(label) AS component FROM reach GROUP BY id
+        """,
         "lang_id": _lang_sql(),
         "text_quality": f"""
             WITH base AS (
@@ -1369,19 +1445,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "meta_dates": """
             SELECT doc_id,
-                   CASE WHEN doc_id % 4 = 0
+                   CASE WHEN doc_id % 5 = 0
                         THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
-                        WHEN doc_id % 4 = 1
+                        WHEN doc_id % 5 = 1
                         THEN '[2023-06-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ']'
-                        WHEN doc_id % 4 = 2
+                        WHEN doc_id % 5 = 2
                         THEN 'Published on March ' || (doc_id % 28 + 1) || ', 2021 by staff'
+                        WHEN doc_id % 5 = 3
+                        THEN CASE WHEN doc_id % 3 = 0
+                                  THEN (doc_id % 28 + 1) || '. Januar 2024'
+                                  WHEN doc_id % 3 = 1
+                                  THEN 'le ' || (doc_id % 28 + 1) || ' janvier 2024'
+                                  ELSE (doc_id % 28 + 1) || ' de enero de 2024' END
                         ELSE 'no date here' END AS raw,
-                   CASE WHEN doc_id % 4 = 0
+                   CASE WHEN doc_id % 5 = 0
                         THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00'
-                        WHEN doc_id % 4 = 1
+                        WHEN doc_id % 5 = 1
                         THEN '2023-06-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00'
-                        WHEN doc_id % 4 = 2
+                        WHEN doc_id % 5 = 2
                         THEN '2021-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00'
+                        WHEN doc_id % 5 = 3
+                        THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00'
                         ELSE NULL END AS iso
             FROM documents
         """,

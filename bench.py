@@ -164,6 +164,16 @@ def run_worker(
         "ann_lsh_knn": timed(
             lambda: similarity.knn_lsh(emb, qvec, k=10).collect()
         ),
+        "ann_ivf_knn": timed(
+            lambda: similarity.knn_ivf(
+                emb, qvec, k=10, n_centroids=8, nprobe=2, spacing=37
+            ).collect()
+        ),
+        "dedup_components": timed(
+            lambda: dedup.dedup_components(
+                dedup.minhash_lsh_pairs(docs)
+            ).count()
+        ),
         "text_quality": timed(
             lambda: docs.select(
                 textops.quality_score(F.col("text")).alias("q")

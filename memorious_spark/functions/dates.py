@@ -4,8 +4,10 @@ parse UDF and the reference-faithful oracle (same import, same bytes).
 
 The reference delegates fuzzy parsing to ``dateparser`` (not available
 in this environment); this stand-in covers the formats web pages
-actually wrap dates in — ISO, slashed/dotted numerics, and English
-month names, embedded in surrounding prose — via a pinned format list
+actually wrap dates in — ISO, slashed/dotted numerics, English month
+names, and German/French/Spanish month names ("5. Januar 2024",
+"le 5 janvier 2024", "5 de enero de 2024" — the corpus's non-English
+languages), embedded in surrounding prose — via a pinned format list
 + candidate extraction. ``format_hint`` takes the exact
 ``datetime.strptime`` path of the reference. Timezone-aware results
 normalize to naive UTC (``naive_datetime``, dates.py:25-31).
@@ -54,6 +56,26 @@ _CANDIDATE_RES = [
 ]
 
 
+# non-English month names (the dateparser-locale subset the corpus's
+# languages need: de/fr/es; lowercase, accent variants included)
+_MONTHS_I18N = {
+    "januar": 1, "februar": 2, "märz": 3, "maerz": 3, "april": 4,
+    "mai": 5, "juni": 6, "juli": 7, "august": 8, "september": 9,
+    "oktober": 10, "november": 11, "dezember": 12,
+    "janvier": 1, "février": 2, "fevrier": 2, "mars": 3, "avril": 4,
+    "juin": 6, "juillet": 7, "août": 8, "aout": 8, "septembre": 9,
+    "octobre": 10, "novembre": 11, "décembre": 12, "decembre": 12,
+    "enero": 1, "febrero": 2, "marzo": 3, "abril": 4, "mayo": 5,
+    "junio": 6, "julio": 7, "agosto": 8, "septiembre": 9,
+    "octubre": 10, "noviembre": 11, "diciembre": 12,
+}
+
+# "5. Januar 2024" / "le 5 janvier 2024" / "5 de enero de 2024"
+_I18N_RE = re.compile(
+    r"(\d{1,2})\.?(?:\s+de)?\s+([a-zA-ZäöüßéèêûàâôîÀ-ÿ]+)\.?(?:\s+de)?\s+(\d{4})"
+)
+
+
 def _naive(dt: datetime | None) -> datetime | None:
     """tz-aware → naive UTC (helpers/dates.py:25-31)."""
     if dt is None:
@@ -96,6 +118,17 @@ def py_parse_date(text: str | None, format_hint: str | None = None):
                 )
                 if parsed is not None:
                     break
+    if parsed is None:
+        # de/fr/es month-name shapes (dateparser-locale stand-in)
+        for m in _I18N_RE.finditer(cleaned):
+            month = _MONTHS_I18N.get(m.group(2).lower())
+            if month is None:
+                continue
+            try:
+                parsed = datetime(int(m.group(3)), month, int(m.group(1)))
+                break
+            except ValueError:
+                continue
     return _naive(parsed)
 
 

@@ -40,7 +40,72 @@ __all__ = [
     "simhash_pairs",
     "embedding_dup_pairs",
     "embedding_dup_pairs_lsh",
+    "dedup_components",
 ]
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over dup-pair edges → ``(id, component)``
+    with ``component`` = the smallest id in the cluster (the canonical
+    representative a training-data pipeline KEEPS; everything else in
+    the component is a near-duplicate to drop).
+
+    Pair generators (minhash/simhash/embedding LSH) emit EDGES; near-
+    duplication is transitive only through its clusters, so this is
+    the standard second half of corpus dedup. Implementation is
+    iterative min-label propagation: each round joins labels across
+    the symmetric edge list and keeps the per-node minimum — one
+    shuffle join + one map-side-combined aggregate per round,
+    converging in O(component diameter) rounds (near-dup clusters are
+    shallow; for adversarially long chains the large-star/small-star
+    O(log n) variant drops in at the same seam). Labels persist per
+    round; the convergence check rides the materializing count job.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
 
 
 def exact_dedup(

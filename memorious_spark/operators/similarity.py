@@ -18,7 +18,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "cosine_sim", "knn_brute_force", "lsh_bucket_col", "knn_lsh",
-    "query_probe_buckets",
+    "query_probe_buckets", "ivf_seed_centroids", "ivf_assign_col",
+    "ivf_train", "knn_ivf",
 ]
 
 
@@ -131,6 +132,148 @@ def knn_lsh(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         bucketed.filter(F.col("_bucket").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---- IVF (inverted-file) ANN -----------------------------------------
+# The coarse-quantizer scale path: K centroids partition the vector
+# space; every vector is assigned to its nearest centroid's posting
+# list, a query probes only the ``nprobe`` nearest lists and re-ranks
+# exactly inside them. On a cluster the bucket column is a partition /
+# Z-order key, so a query is ``nprobe`` partition-pruned scans
+# (~nprobe/K of the table) — the IVF of FAISS/Milvus re-expressed as
+# plain DataFrame ops. Seeding is deterministic (vec_id-strided rows,
+# no RNG) so the engine and the DuckDB oracle derive identical
+# centroids; ``ivf_train`` adds Lloyd refinement (distributed mean per
+# bucket, one posexplode + groupBy per iteration — map-side partials,
+# no collect of vectors).
+
+
+def _dist2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_seed_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    spacing: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed centroids: the vectors at
+    ``vec_id = i · spacing`` for ``i < n_centroids`` (strided over the
+    id space — no RNG, reproducible across engines). Returns
+    [(cid, vector)] sorted by cid; K is tiny, so driver-side rows."""
+    ids = [i * spacing for i in range(n_centroids)]
+    rows = (
+        emb.filter(F.col(id_col).isin(ids))
+        .select((F.col(id_col) / spacing).cast("int").alias("cid"), vec_col)
+        .collect()
+    )
+    return sorted((r["cid"], [float(x) for x in r[vec_col]]) for r in rows)
+
+
+def ivf_assign_col(
+    vec_col: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid id as a pure Column: argmin over K literal
+    squared-L2 distances (ties → lowest cid via first-occurrence
+    ``array_position``). K is small, so the expression stays inside
+    whole-stage codegen — no UDF, no shuffle."""
+    dists = F.array(
+        *[
+            _dist2(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+            for _cid, c in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 1,
+    spacing: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the seed centroids: each iteration assigns
+    every vector to its nearest centroid and recomputes the centroid
+    as the bucket mean — one ``posexplode`` + groupBy((bucket, dim))
+    average per iteration, fully distributed with map-side partial
+    aggregation; only the K·dim means cross to the driver. Empty
+    buckets keep their previous centroid."""
+    cents = ivf_seed_centroids(emb, n_centroids, spacing, id_col, vec_col)
+    for _ in range(n_iter):
+        assigned = emb.withColumn("_b", ivf_assign_col(F.col(vec_col), cents))
+        means = (
+            assigned.select("_b", F.posexplode(vec_col).alias("d", "x"))
+            .groupBy("_b", "d")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by_bucket: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_bucket.setdefault(int(r["_b"]), {})[int(r["d"])] = float(r["m"])
+        cents = [
+            (
+                cid,
+                [by_bucket[cid][d] for d in sorted(by_bucket[cid])]
+                if cid in by_bucket
+                else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
+def knn_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    spacing: int = 37,
+    n_iter: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k: assign vectors to their nearest centroid, probe the
+    ``nprobe`` centroids nearest the query, exact cosine re-rank
+    inside those posting lists. ``n_iter=0`` keeps the deterministic
+    seed centroids (the oracle-paired configuration); ``n_iter>0``
+    runs Lloyd refinement first."""
+    cents = (
+        ivf_train(emb, n_centroids, n_iter, spacing, id_col, vec_col)
+        if n_iter
+        else ivf_seed_centroids(emb, n_centroids, spacing, id_col, vec_col)
+    )
+    qdist = sorted(
+        (
+            sum((float(q) - float(c)) ** 2 for q, c in zip(query_vec, cv)),
+            cid,
+        )
+        for cid, cv in cents
+    )
+    probes = [cid for _d, cid in qdist[:nprobe]]
+    assigned = emb.withColumn("_b", ivf_assign_col(F.col(vec_col), cents))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("_b").isin(probes))
         .select(
             F.col(id_col),
             F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),

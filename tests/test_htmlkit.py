@@ -145,3 +145,23 @@ def test_clean_html_exact_output():
         '<img src="x.png"><iframe src="y"></iframe><p>keep</p></body></html>'
     )
     assert clean_html(None, [".//img"]) is None
+
+
+def test_fuzzy_dates_i18n():
+    """de/fr/es month-name parsing (round-3 dateparser-locale breadth)
+    plus the existing English/numeric shapes — shared kernel, so the
+    oracle inherits these bytes."""
+    from memorious_spark.functions.dates import py_iso_date
+
+    assert py_iso_date("5. Januar 2024") == "2024-01-05T00:00:00"
+    assert py_iso_date("le 5 janvier 2024") == "2024-01-05T00:00:00"
+    assert py_iso_date("5 de enero de 2024") == "2024-01-05T00:00:00"
+    assert py_iso_date("Erschienen am 17. März 2023") == "2023-03-17T00:00:00"
+    assert py_iso_date("publié le 1 août 1999 à Paris") == "1999-08-01T00:00:00"
+    assert py_iso_date("12 de diciembre de 2020") == "2020-12-12T00:00:00"
+    # day-out-of-range candidates are skipped, not crashed
+    assert py_iso_date("31 de febrero de 2020") is None
+    # English and numeric paths unchanged
+    assert py_iso_date("Published on March 3, 2021 by staff") == "2021-03-03T00:00:00"
+    assert py_iso_date("[2023-06-07]") == "2023-06-07T00:00:00"
+    assert py_iso_date("no date here") is None

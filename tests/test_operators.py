@@ -394,6 +394,61 @@ def test_embedding_dup_and_knn(spark):
     assert 0 in [r["vec_id"] for r in ann]  # query's own bucket contains it
 
 
+def test_dedup_components_min_label(spark):
+    """Transitive near-dup clustering: component id = min id of the
+    cluster, chains collapse, singletons absent from pairs are absent
+    from output (they are their own representative by definition)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 20)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in dedup.dedup_components(pairs).collect()
+    }
+    assert out == {
+        1: 1, 2: 1, 3: 1, 20: 1,
+        5: 5, 6: 5,
+        8: 8, 9: 8, 10: 8,
+    }
+
+
+def test_ivf_train_matches_numpy_and_full_probe_is_exact(spark):
+    import math
+
+    import numpy as np
+
+    rows = [
+        (i, [math.sin(0.3 * i + d) + 0.01 * ((i + d) % 7) for d in range(4)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_train(emb, n_centroids=2, n_iter=1, spacing=3)
+    # numpy twin of one Lloyd step from the same strided seeds
+    X = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    seeds = X[[0, 3]]
+    assign = np.argmin(
+        ((X[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2), axis=1
+    )
+    for cid, got in cents:
+        want = X[assign == cid].mean(axis=0)
+        assert np.allclose(got, want, atol=1e-6), (cid, got, want)
+    # probing ALL centroids makes IVF exact — must equal brute force
+    q = rows[7][1]
+    ivf_all = similarity.knn_ivf(
+        emb, q, k=5, n_centroids=2, nprobe=2, spacing=3
+    ).collect()
+    brute = similarity.knn_brute_force(emb, q, k=5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in ivf_all] == [
+        (r["vec_id"], r["cosine"]) for r in brute
+    ]
+    # single-probe returns the query's own bucket (contains vec 7)
+    ivf_one = similarity.knn_ivf(
+        emb, q, k=5, n_centroids=2, nprobe=1, spacing=3
+    ).collect()
+    assert 7 in [r["vec_id"] for r in ivf_one]
+
+
 def test_knn_lsh_multiprobe_recall(spark):
     """Hamming-1 multiprobe dominates single-probe recall vs brute
     force: deterministic vector cloud, same planes, recall@k ordering
