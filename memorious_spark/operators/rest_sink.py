@@ -36,7 +36,10 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["TransientApiError", "rest_emit", "aleph_emit_documents"]
+__all__ = [
+    "TransientApiError", "rest_emit", "aleph_emit_documents",
+    "aleph_folders", "aleph_emit_entities",
+]
 
 UPLOAD_OUT_SCHEMA = (
     "foreign_id string, content_hash string, remote_id string, "
@@ -54,10 +57,17 @@ def rest_emit(
     retries: int = 3,
     backoff_base: float = 2.0,
     sleep: Callable[[float], None] = time.sleep,
+    key_cols: tuple[str, ...] = ("foreign_id", "content_hash"),
 ) -> DataFrame:
     """Emit every row to ``send`` with per-row retry/backoff
     (aleph.py:83-102: ``2**attempt`` seconds between transient
-    failures); returns one outcome row per input row."""
+    failures); returns one outcome row per input row, keyed by
+    ``key_cols`` (documents key on (foreign_id, content_hash),
+    entities on (foreign_id, entity_id), folders on foreign_id)."""
+    keys = list(key_cols)
+    out_schema = ", ".join(f"{c} string" for c in keys) + (
+        ", remote_id string, status string, attempts int"
+    )
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -81,23 +91,18 @@ def rest_emit(
                         status = "error"
                         break
                 out.append(
-                    dict(
-                        foreign_id=rec.get("foreign_id"),
-                        content_hash=rec.get("content_hash"),
-                        remote_id=remote_id,
-                        status=status,
-                        attempts=attempts,
-                    )
+                    {
+                        **{c: rec.get(c) for c in keys},
+                        "remote_id": remote_id,
+                        "status": status,
+                        "attempts": attempts,
+                    }
                 )
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "foreign_id", "content_hash", "remote_id", "status",
-                    "attempts",
-                ],
+                out, columns=keys + ["remote_id", "status", "attempts"]
             )
 
-    return rows.mapInPandas(emit, UPLOAD_OUT_SCHEMA)
+    return rows.mapInPandas(emit, out_schema)
 
 
 def aleph_emit_documents(
@@ -155,6 +160,117 @@ def aleph_emit_documents(
     ).persist()
     ok = outcomes.filter(F.col("status") == "uploaded").select(
         "foreign_id", "content_hash", "remote_id"
+    )
+    store.append_shared(table, ok)
+    return outcomes if skipped is None else outcomes.unionByName(skipped)
+
+
+def aleph_folders(
+    spark: SparkSession,
+    store,
+    folders: DataFrame,
+    send: Callable[[dict], dict],
+    collection: str,
+    retries: int = 3,
+    sleep: Callable[[float], None] = time.sleep,
+) -> DataFrame:
+    """``aleph_folder`` (aleph.py:105-137) as a distinct payload shape:
+    one FOLDER document per ``foreign_id`` row — metadata only, no
+    content hash, ``sync`` semantics — whose returned id is the
+    ``aleph_folder_id`` children later parent against
+    (``meta["parent"] = {"id": …}``, aleph.py:44-45).
+
+    Cache key is the bare foreign_id (set_tag(make_key(collection,
+    foreign_id)), aleph.py:128): already-created folders skip the API
+    and replay their cached folder id, so children can still parent
+    against them. Returns outcomes keyed (foreign_id) with
+    ``remote_id`` = folder id.
+    """
+    table = f"uploaded_folders_{collection}"
+    cols = set(folders.columns)
+    rows = folders.select(
+        "foreign_id",
+        *[
+            (F.col(c) if c in cols else F.lit(None).cast("string")).alias(c)
+            for c in ("title", "file_name", "source_url")
+        ],
+        F.lit(True).alias("folder"),
+    ).filter(F.col("foreign_id").isNotNull())
+
+    cached = store.read_shared(spark, table)
+    if cached is not None:
+        keys = cached.select("foreign_id", "remote_id").distinct()
+        fresh = rows.join(
+            keys.select("foreign_id").hint("shuffle_hash"),
+            "foreign_id", "left_anti",
+        )
+        skipped = rows.join(
+            F.broadcast(keys), "foreign_id", "inner"
+        ).select(
+            "foreign_id",
+            F.col("remote_id"),  # cached folder id — replayed, not re-made
+            F.lit("skipped_cached").alias("status"),
+            F.lit(0).alias("attempts"),
+        )
+    else:
+        fresh, skipped = rows, None
+
+    outcomes = rest_emit(
+        fresh, send, retries=retries, sleep=sleep, key_cols=("foreign_id",)
+    ).persist()
+    ok = outcomes.filter(F.col("status") == "uploaded").select(
+        "foreign_id", "remote_id"
+    )
+    store.append_shared(table, ok)
+    return outcomes if skipped is None else outcomes.unionByName(skipped)
+
+
+def aleph_emit_entities(
+    spark: SparkSession,
+    store,
+    entities: DataFrame,
+    send: Callable[[dict], dict],
+    collection: str,
+    retries: int = 3,
+    sleep: Callable[[float], None] = time.sleep,
+) -> DataFrame:
+    """``aleph_emit_entity`` (aleph.py:139-190) as a distinct payload
+    shape: FollowTheMoney entities ``{"schema", "properties"}`` written
+    under ``entity_id``; cache key (foreign_id, entity_id) — cached
+    entities skip with their stored remote id (aleph.py:151-159).
+
+    ``entities`` needs (entity_id, foreign_id, schema,
+    properties map<string,array<string>>). Returns outcomes keyed
+    (foreign_id, entity_id).
+    """
+    table = f"uploaded_entities_{collection}"
+    rows = entities.select(
+        "foreign_id", "entity_id", "schema", "properties"
+    ).filter(F.col("entity_id").isNotNull())
+
+    cached = store.read_shared(spark, table)
+    if cached is not None:
+        keys = cached.select("foreign_id", "entity_id", "remote_id").distinct()
+        fresh = rows.join(
+            keys.select("foreign_id", "entity_id").hint("shuffle_hash"),
+            ["foreign_id", "entity_id"], "left_anti",
+        )
+        skipped = rows.join(
+            F.broadcast(keys), ["foreign_id", "entity_id"], "inner"
+        ).select(
+            "foreign_id", "entity_id", "remote_id",
+            F.lit("skipped_cached").alias("status"),
+            F.lit(0).alias("attempts"),
+        )
+    else:
+        fresh, skipped = rows, None
+
+    outcomes = rest_emit(
+        fresh, send, retries=retries, sleep=sleep,
+        key_cols=("foreign_id", "entity_id"),
+    ).persist()
+    ok = outcomes.filter(F.col("status") == "uploaded").select(
+        "foreign_id", "entity_id", "remote_id"
     )
     store.append_shared(table, ok)
     return outcomes if skipped is None else outcomes.unionByName(skipped)

@@ -33,7 +33,8 @@ def _make_fake_send(api_dir):
                     fh.write("1")
                 raise TransientApiError("try again")
         with open(os.path.join(api_dir, f"{fid}.json"), "w") as fh:
-            json.dump(rec, fh)
+            # map-typed columns arrive as numpy arrays through Arrow
+            json.dump(rec, fh, default=list)
         return {"id": f"doc-{fid}"}
 
     return fake_send
@@ -104,3 +105,72 @@ def test_aleph_emit_skips_cached_across_runs(spark, tmp_path):
     assert os.path.exists(f"{_API_DIR}/https:__a_1.h1b.json")
     # uploaded table now carries all three upload records
     assert store.read_shared(spark, "uploaded_coll").count() == 3
+
+def test_aleph_folders_cache_replays_folder_id(spark, tmp_path):
+    """aleph_folder (aleph.py:105-137): folder docs keyed by bare
+    foreign_id; a second run skips the API but REPLAYS the cached
+    folder id (children must still be able to parent against it)."""
+    import shutil
+
+    shutil.rmtree(_API_DIR, ignore_errors=True)
+    from memorious_spark.operators.rest_sink import aleph_folders
+
+    send = _make_fake_send(_API_DIR)
+    store = RunStore(tmp_path, "alephf", "r1")
+    folders = spark.createDataFrame(
+        [("dir-a", "Folder A"), ("dir-b", "Folder B")],
+        "foreign_id string, title string",
+    )
+    out1 = {
+        r["foreign_id"]: r
+        for r in aleph_folders(spark, store, folders, send, "col1").collect()
+    }
+    assert out1["dir-a"]["status"] == "uploaded"
+    fid_a = out1["dir-a"]["remote_id"]
+    assert fid_a is not None
+    # payload was a folder shape: no content_hash key needed, folder flag
+    with open(f"{_API_DIR}/dir-a..json") as fh:
+        payload = json.load(fh)
+    assert payload["folder"] is True and payload["title"] == "Folder A"
+
+    out2 = {
+        r["foreign_id"]: r
+        for r in aleph_folders(
+            spark, RunStore(tmp_path, "alephf", "r2"), folders, send, "col1"
+        ).collect()
+    }
+    assert out2["dir-a"]["status"] == "skipped_cached"
+    assert out2["dir-a"]["remote_id"] == fid_a  # cached id replayed
+
+
+def test_aleph_emit_entities_keyed_by_entity_id(spark, tmp_path):
+    """aleph_emit_entity (aleph.py:139-190): FtM entity payloads keyed
+    (foreign_id, entity_id); cached entities skip with stored id."""
+    import shutil
+
+    shutil.rmtree(_API_DIR, ignore_errors=True)
+    from memorious_spark.operators.rest_sink import aleph_emit_entities
+
+    send = _make_fake_send(_API_DIR)
+    store = RunStore(tmp_path, "alephe", "r1")
+    ents = spark.createDataFrame(
+        [
+            ("https://a/1", "e1", "Person", {"name": ["Jane"]}),
+            ("https://a/2", "e2", "Company", {"name": ["Acme"]}),
+        ],
+        "foreign_id string, entity_id string, schema string, "
+        "properties map<string, array<string>>",
+    )
+    out1 = {
+        r["entity_id"]: r
+        for r in aleph_emit_entities(spark, store, ents, send, "colE").collect()
+    }
+    assert out1["e1"]["status"] == "uploaded"
+    out2 = {
+        r["entity_id"]: r
+        for r in aleph_emit_entities(
+            spark, RunStore(tmp_path, "alephe", "r2"), ents, send, "colE"
+        ).collect()
+    }
+    assert out2["e1"]["status"] == "skipped_cached"
+    assert out2["e1"]["remote_id"] == out1["e1"]["remote_id"]
