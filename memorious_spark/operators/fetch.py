@@ -22,7 +22,10 @@ Past ``_BROADCAST_MAX_ROWS`` the frontier side falls back to a
 SHUFFLE_HASH-hinted key-partitioned shuffle join (hash build on the
 frontier side — never a sort of the corpus; AQE handles skew); on a
 real deployment the corpus is bucketed by url so even that path
-avoids re-shuffling the 100 TB side. ``MEMSPARK_FORCE_SHUFFLE_JOIN=1``
+avoids re-shuffling the 100 TB side — demonstrated, not asserted:
+test_plans.py::test_bucketed_corpus_join_never_shuffles_corpus shows
+the bucketed-table join with ZERO exchange above the corpus scan.
+``MEMSPARK_FORCE_SHUFFLE_JOIN=1``
 forces this fallback regardless of size so tests can lock its plan
 and verify crawl equality (test_plans.py / test_crawl_e2e.py).
 

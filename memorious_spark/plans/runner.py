@@ -37,9 +37,13 @@ round launches exactly THREE Spark job waves on the default
   3. frontier + seen writes, submitted in parallel threads (both read
      only cached data; the next round's frontier size rides along as
      an observation, so empty rounds cost zero jobs).
-A configured politeness budget (or robots) adds one selection-
-histogram wave that materializes the budget-selected cache.
-Everything else (metrics, manifest) is driver-local pyarrow/JSON.
+Politeness/robots rounds are ALSO three waves: their selection
+histogram (count + lineage of the budget-selected cache) defers into
+wave 2 as a parallel thread beside the dedup sizes collect, and the
+fetch join's broadcast decision uses the frontier count as its safe
+upper bound. Only a resume with an unknown frontier count pays an
+up-front histogram, once. Everything else (metrics, manifest) is
+driver-local pyarrow/JSON.
 
 State (frontier / seen / results / metrics) is checkpointed per round
 through :class:`RunStore`; a killed run resumes from the last complete
@@ -332,6 +336,20 @@ class CrawlRunner:
                     frontier, cfg.budget_per_host, self.robots
                 )
             selected = salt_partitions(selected).persist()
+
+            def _histogram():
+                hist = (
+                    selected.groupBy(F.spark_partition_id().alias("pid"))
+                    .agg(F.count("*").alias("rows"))
+                    .collect()
+                )
+                return sum(int(r["rows"]) for r in hist), [
+                    dict(round=rnd, stage="fetch_input",
+                         partition_id=int(r["pid"]), rows=int(r["rows"]))
+                    for r in hist
+                ]
+
+            defer_hist = False
             if no_politeness and frontier_rows >= 0:
                 # fast path — ZERO jobs here: selection kept the whole
                 # frontier, whose exact row count rode last round's
@@ -346,22 +364,25 @@ class CrawlRunner:
                     dict(round=rnd, stage="fetch_input", partition_id=i, rows=n)
                     for i, n in enumerate(store.partition_rows("frontier", rnd))
                 ]
+            elif frontier_rows >= 0:
+                # politeness path: the budget-selected count is data-
+                # dependent, but nothing needs it before the retry
+                # decision — so the histogram DEFERS into wave 2
+                # (parallel thread beside the dedup sizes collect,
+                # scanning the by-then-materialized selected cache) and
+                # the broadcast decision uses the frontier count as its
+                # safe upper bound (selection only shrinks). Budget
+                # rounds therefore cost the same THREE waves.
+                n_selected, lineage = None, None
+                defer_hist = True
             else:
-                # politeness path (or resume with unknown count): the
-                # per-partition histogram materializes the selected
-                # cache and yields n_selected + lineage in one action
-                hist = (
-                    selected.groupBy(F.spark_partition_id().alias("pid"))
-                    .agg(F.count("*").alias("rows"))
-                    .collect()
-                )
-                n_selected = sum(int(r["rows"]) for r in hist)
-                lineage = [
-                    dict(round=rnd, stage="fetch_input",
-                         partition_id=int(r["pid"]), rows=int(r["rows"]))
-                    for r in hist
-                ]
-            ph.mark(f"politeness+salt ({n_selected})")
+                # resume with unknown frontier count: one up-front
+                # histogram (materializes the cache, sizes the join)
+                n_selected, lineage = _histogram()
+            ph.mark(
+                "politeness+salt "
+                f"({'deferred' if n_selected is None else n_selected})"
+            )
 
             # fetch = corpus join (broadcast frontier side when small),
             # then gate+parse; ONE persisted DataFrame carries every
@@ -373,7 +394,14 @@ class CrawlRunner:
                 if cfg.incremental
                 else selected
             )
-            fetched = fetch_stage(probe_in, corpus, selected_count=n_selected)
+            fetched = fetch_stage(
+                probe_in, corpus,
+                selected_count=(
+                    n_selected
+                    if n_selected is not None
+                    else (frontier_rows if frontier_rows >= 0 else None)
+                ),
+            )
             if cfg.incremental:
                 fetched = apply_replay(fetched)
             parsed, members = self._gate_and_parse(fetched, fetch_rule)
@@ -485,12 +513,17 @@ class CrawlRunner:
             ).persist()
             # wave 2: materialize the dedup chain range-partitioned by the
             # emit order; ONE collect yields the per-partition sizes (→
-            # emit_seq offsets) and their sum (→ n_new)
+            # emit_seq offsets) and their sum (→ n_new). A deferred
+            # politeness histogram rides this wave in a parallel thread
+            # (it scans the selected cache job 1 materialized).
+            hist_fut = pool.submit(_histogram) if defer_hist else None
             rp = range_by_order(new0, _ORDER).persist()
             sizes = {
                 int(r["_pid"]): int(r["cnt"])
                 for r in rp.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
             }
+            if hist_fut is not None:
+                n_selected, lineage = hist_fut.result()
             new0.unpersist()
             n_new = sum(sizes.values())
             new_links = seq_from_sizes(rp, _ORDER, sizes, start=next_seq)

@@ -165,3 +165,25 @@ def test_fuzzy_dates_i18n():
     assert py_iso_date("Published on March 3, 2021 by staff") == "2021-03-03T00:00:00"
     assert py_iso_date("[2023-06-07]") == "2023-06-07T00:00:00"
     assert py_iso_date("no date here") is None
+
+
+def test_view_form_fields():
+    """ViewForm field harvest (memorious/helpers/asp.py:1-19): named
+    inputs → {name: value}, '' default, data overrides pre-seed."""
+    page = (
+        "<html><body><form>"
+        '<input name="__VIEWSTATE" value="abc123"/>'
+        '<input name="__EVENTVALIDATION" value="ev"/>'
+        '<input name="novalue"/>'
+        '<input value="anonymous"/>'
+        "</form></body></html>"
+    )
+    root = hk.parse_html(page)
+    fields = hk.view_form_fields(root, data={"seeded": "x"})
+    assert fields == {
+        "seeded": "x",
+        "__VIEWSTATE": "abc123",
+        "__EVENTVALIDATION": "ev",
+        "novalue": "",
+    }
+    assert hk.view_form_fields(None) == {}

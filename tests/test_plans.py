@@ -65,6 +65,46 @@ def test_fetch_join_shuffle_fallback_plan(spark, tmp_path):
     assert "SortMergeJoin" not in plan, plan[:2000]
 
 
+def test_bucketed_corpus_join_never_shuffles_corpus(spark, tmp_path):
+    """The real-deployment posture behind the shuffle fallback: with
+    the corpus stored BUCKETED BY url, the non-broadcast fetch join
+    reads the buckets in place — the 100 TB side has NO exchange on
+    its join key; only the frontier side shuffles (to the bucket
+    count). This demonstrates, not asserts, the fetch.py claim."""
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"), F.lit("en").alias("lang")
+    )
+    corpus = build_corpus(spark, docs, 300)
+    spark.sql("DROP TABLE IF EXISTS corpus_bucketed_t")
+    (
+        corpus.write.bucketBy(4, "url").sortBy("url")
+        .option("path", str(tmp_path / "bucketed_corpus"))
+        .mode("overwrite").saveAsTable("corpus_bucketed_t")
+    )
+    try:
+        bucketed = spark.table("corpus_bucketed_t")
+        frontier = corpus.limit(20).select(
+            "url", F.col("url").alias("url_norm"), F.xxhash64("url").alias("url_hash"),
+            F.lit("h").alias("host"), F.lit(0).alias("depth"),
+            F.lit(0.0).alias("priority"),
+            F.lit(None).cast("string").alias("src_url"),
+            F.lit(None).cast("int").alias("link_idx"),
+            F.lit(0).cast("long").alias("emit_seq"), F.lit(0).alias("attempt"),
+        )
+        fetched = fetch_stage(frontier, bucketed, broadcast_frontier=False)
+        plan = _plan(fetched)
+        assert "Bucketed: true" in plan, plan[:2000]
+        # the corpus side NEVER exchanges on its join key...
+        assert "Exchange hashpartitioning(f_url" not in plan, plan[:3000]
+        # ...while the frontier side shuffles into the bucket layout
+        assert "Exchange hashpartitioning(url_norm" in plan, plan[:3000]
+        assert "ShuffledHashJoin" in plan and "SortMergeJoin" not in plan
+        # and it still computes the right thing
+        assert fetched.count() == 20
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus_bucketed_t")
+
+
 def test_parquet_scan_pushdown(spark, tmp_path):
     path = str(tmp_path / "pages")
     docs = spark.range(500).select(
