@@ -24,12 +24,10 @@ from memorious_spark.session import ship_package
 # shared helpers
 # ----------------------------------------------------------------------
 
-_MARKERS = {
-    "en": [" the ", " and ", " of "],
-    "es": [" el ", " la ", " de "],
-    "de": [" der ", " und ", " die "],
-    "fr": [" le ", " et ", " les "],
-}
+# the single source of truth for the language-ID marker table lives in
+# textops; the DuckDB oracle is generated from the same dict so the
+# two engines can never drift
+from memorious_spark.functions.textops import _LANG_MARKERS as _MARKERS
 _STOPWORDS = (" the ", " a ", " and ", " of ", " to ")
 N_PERM, N_BANDS = 16, 4
 KNN_PLANES = 6
@@ -831,6 +829,17 @@ pipeline:
         pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
         return dedup.dedup_components(pairs)
 
+    def corpus_dedup_op(spark, sf_dir):
+        """END-TO-END corpus dedup (round-4): ONE pipeline-facing call
+        — exact fingerprint dedup → MinHash-LSH pairs over the exact
+        survivors → connected components → final canonical manifest
+        (doc_id, canonical_id, reason ∈ kept|exact|near). What a
+        training-data pipeline invokes instead of stitching the four
+        operators itself."""
+        return dedup.corpus_dedup(
+            _docs(spark, sf_dir), n_perm=N_PERM, bands=N_BANDS
+        )
+
     # -- text analysis -----------------------------------------------------
     def lang_id(spark, sf_dir):
         return _docs(spark, sf_dir).select(
@@ -1022,6 +1031,7 @@ pipeline:
         "ann_lsh_knn": ann_lsh_knn,
         "ann_ivf_knn": ann_ivf_knn,
         "dedup_components": dedup_components_op,
+        "corpus_dedup": corpus_dedup_op,
         "lang_id": lang_id,
         "text_quality": text_quality,
         "doc_fingerprint": doc_fingerprint,
@@ -1402,6 +1412,52 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
             )
             SELECT id, min(label) AS component FROM reach GROUP BY id
+        """,
+        "corpus_dedup": f"""
+            WITH RECURSIVE
+            fp AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+              FROM documents
+            ),
+            ec AS (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS ecanon FROM fp
+            ),
+            surv AS (SELECT doc_id FROM ec WHERE doc_id = ecanon),
+            t AS (
+              SELECT d.doc_id, string_split(trim(d.text), ' ') AS toks
+              FROM documents d JOIN surv sv ON sv.doc_id = d.doc_id
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2] AS s
+              FROM t, LATERAL unnest(
+                generate_series(1, greatest(len(toks) - 2, 1))) AS u(j)
+            ),
+            mins AS ({_minhash_sql_mins()}),
+            bands AS ({_minhash_sql_bands()}),
+            prs AS (SELECT DISTINCT id_a, id_b FROM ({band_joins})),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM prs
+              UNION
+              SELECT id_b, id_a FROM prs
+            ),
+            reach(id, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+            near AS (
+              SELECT sv.doc_id AS sid,
+                     coalesce(c.component, sv.doc_id) AS ncanon
+              FROM surv sv LEFT JOIN comp c ON c.id = sv.doc_id
+            )
+            SELECT e.doc_id AS doc_id, n.ncanon AS canonical_id,
+                   CASE WHEN e.doc_id <> e.ecanon THEN 'exact'
+                        WHEN e.doc_id <> n.ncanon THEN 'near'
+                        ELSE 'kept' END AS reason
+            FROM ec e JOIN near n ON n.sid = e.ecanon
         """,
         "lang_id": _lang_sql(),
         "text_quality": f"""

@@ -26,12 +26,27 @@ __all__ = [
     "minhash_signature",
 ]
 
-# language → marker words (spaces matter: match whole tokens mid-text)
+# language → marker words (spaces matter: match whole tokens mid-text).
+# Data-derived: the top function words of each language's frequency
+# list (the public Zipf heads — 'the/and/of', 'der/und/die', …),
+# hand-pruned to keep cross-language collisions low (e.g. Dutch keeps
+# 'het/een/niet' because 'de' is also Spanish/French/Portuguese).
+# 12 languages; still an honest n-gram-free heuristic, not fasttext —
+# the sandbox has no model weights, and the whole table stays inside
+# whole-stage codegen as literal match counts.
 _LANG_MARKERS: dict[str, list[str]] = {
-    "en": [" the ", " and ", " of "],
-    "es": [" el ", " la ", " de "],
-    "de": [" der ", " und ", " die "],
-    "fr": [" le ", " et ", " les "],
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "es": [" el ", " la ", " que ", " los ", " una "],
+    "de": [" der ", " und ", " die ", " das ", " nicht "],
+    "fr": [" le ", " et ", " les ", " des ", " est "],
+    "pt": [" não ", " uma ", " com ", " para ", " mais "],
+    "it": [" il ", " che ", " per ", " della ", " sono "],
+    "nl": [" het ", " een ", " van ", " niet ", " ik "],
+    "ru": [" и ", " в ", " не ", " что ", " это "],
+    "pl": [" i ", " w ", " nie ", " się ", " jest "],
+    "tr": [" bir ", " ve ", " bu ", " için ", " ile "],
+    "sv": [" och ", " att ", " det ", " som ", " på "],
+    "id": [" yang ", " dan ", " di ", " dengan ", " untuk "],
 }
 
 
@@ -84,22 +99,33 @@ def quality_score(text: Column) -> Column:
 
 def lang_guess(text: Column) -> Column:
     """Marker-word language ID: argmax of per-language marker counts,
-    'und' when all zero. Deterministic tie-break by language order."""
+    'und' when all zero. Deterministic tie-break by language order
+    (earlier wins).
+
+    Shape matters at 12 languages: a when/otherwise fold re-nests
+    every prior score into each comparison (O(L²·markers) expression
+    nodes); this builds ONE array of (score, rank) structs and takes
+    ``array_max`` — struct ordering gives argmax with the rank field
+    breaking ties toward earlier languages, O(L·markers) nodes, each
+    occurrence count evaluated exactly once."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    scores = {
-        lang: sum(
-            (_occurrences(padded, m) for m in markers), start=F.lit(0.0)
+    langs = list(_LANG_MARKERS)
+    entries = [
+        F.struct(
+            sum(
+                (_occurrences(padded, m) for m in _LANG_MARKERS[lang]),
+                start=F.lit(0.0),
+            ).alias("s"),
+            F.lit(len(langs) - i).alias("r"),  # higher rank = earlier lang
         )
-        for lang, markers in _LANG_MARKERS.items()
-    }
-    best = F.lit("und")
-    best_score = F.lit(0.0)
-    # iterate in fixed order; strictly-greater keeps earlier langs on ties
-    for lang, score in scores.items():
-        is_better = score > best_score
-        best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
+    idx = (F.lit(len(langs) + 1) - best["r"]).cast("int")
+    return F.when(
+        best["s"] > 0,
+        F.element_at(F.array(*[F.lit(l) for l in langs]), idx),
+    ).otherwise(F.lit("und"))
 
 
 def fingerprint(text: Column) -> Column:

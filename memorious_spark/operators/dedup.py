@@ -41,6 +41,7 @@ __all__ = [
     "embedding_dup_pairs",
     "embedding_dup_pairs_lsh",
     "dedup_components",
+    "corpus_dedup",
 ]
 
 
@@ -48,7 +49,8 @@ def dedup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over dup-pair edges → ``(id, component)``
     with ``component`` = the smallest id in the cluster (the canonical
@@ -57,55 +59,182 @@ def dedup_components(
 
     Pair generators (minhash/simhash/embedding LSH) emit EDGES; near-
     duplication is transitive only through its clusters, so this is
-    the standard second half of corpus dedup. Implementation is
-    iterative min-label propagation: each round joins labels across
-    the symmetric edge list and keeps the per-node minimum — one
-    shuffle join + one map-side-combined aggregate per round,
-    converging in O(component diameter) rounds (near-dup clusters are
-    shallow; for adversarially long chains the large-star/small-star
-    O(log n) variant drops in at the same seam). Labels persist per
-    round; the convergence check rides the materializing count job.
+    the standard second half of corpus dedup. Implementation is the
+    alternating **large-star / small-star** algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — the same
+    formulation GraphFrames ships): each half-round is one window
+    aggregation over the node's neighborhood (a single shuffle on the
+    node id, map-side combined) that re-points edges at the
+    neighborhood minimum, converging in **O(log n) rounds even on
+    chain-shaped graphs** — not O(component diameter) like plain
+    min-label propagation.
+
+    Convergence detection costs ZERO extra jobs: edge count, label
+    sum, and an xxhash64 edge-set fingerprint ride the per-iteration
+    materializing action as ``Observation`` metrics; the loop stops
+    when all three are stable across a full round (the label sum is
+    monotonically non-increasing — GraphFrames' own convergence
+    metric — with the 64-bit fingerprint as a belt-and-braces check
+    against a count+sum coincidence).
+
+    ``stats`` (optional dict) receives ``{"iterations": k}`` so tests
+    can assert the logarithmic bound.
     """
-    edges = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
-    edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    from pyspark.sql import Observation, Window
+
+    # canonical directed edges: larger id → smaller id, no self-loops.
+    # localCheckpoint (not just persist) per round: the star unions
+    # reference the previous edge set several times, so without
+    # lineage TRUNCATION the logical plan grows ~4^rounds and the
+    # driver dies building plan strings long before the data is big.
+    # (GraphFrames' connectedComponents checkpoints on the same
+    # schedule; on a cluster with a reliable checkpoint dir,
+    # df.checkpoint() drops in for executor-loss resilience.)
+    e = (
+        pairs.select(
+            F.greatest(
+                F.col(id_a).cast("long"), F.col(id_b).cast("long")
+            ).alias("src"),
+            F.least(
+                F.col(id_a).cast("long"), F.col(id_b).cast("long")
+            ).alias("dst"),
         )
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .persist()
-    )
+    prev = (None, None, None)
+    iters = 0
     for _ in range(max_iter):
-        prop = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .select(F.col("dst").alias("id"), "label")
+        iters += 1
+        # LARGE-STAR: over symmetric neighborhoods, connect every
+        # strictly-larger neighbor v of u to m = min(Γ(u) ∪ {u});
+        # window min = one hash-shuffle on u, no join
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .persist()
-        )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "id"
+        wu = Window.partitionBy("src")
+        large = (
+            sym.withColumn(
+                "_m", F.least(F.min("dst").over(wu), F.col("src"))
             )
-            .filter(F.col("label") != F.col("old"))
-            .count()
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .distinct()
         )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        # SMALL-STAR: on the (larger→smaller) edges, re-point every
+        # smaller neighbor (and u itself) at m = min(N(u) ∪ {u})
+        small_m = F.min("dst").over(Window.partitionBy("src"))
+        pointed = large.withColumn("_m", small_m)
+        new_e = (
+            pointed.filter(F.col("dst") > F.col("_m"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .unionByName(
+                pointed.select("src", F.col("_m").alias("dst"))
+            )
+            .distinct()
+        )
+        obs = Observation()
+        # decimal sum + bit_xor fingerprint: neither can overflow under
+        # ANSI mode at 10^10-edge scale (sum(long) would)
+        new_e = new_e.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("dst").cast("decimal(38,0)")).alias("lsum"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("fp"),
+        ).localCheckpoint(eager=True)  # the one materializing action
+        e.unpersist()
+        e = new_e
+        got = obs.get
+        cur = (got["n"], got["lsum"], got["fp"])
+        if cur == prev or cur[0] == 0:
             break
-    edges.unpersist()
-    return labels.select("id", F.col("label").alias("component"))
+        prev = cur
+    if stats is not None:
+        stats["iterations"] = iters
+    # at the star-forest fixpoint every edge is (member → root); roots
+    # and isolated input nodes label themselves
+    nodes = (
+        pairs.select(F.col(id_a).cast("long").alias("id"))
+        .unionByName(pairs.select(F.col(id_b).cast("long").alias("id")))
+        .distinct()
+    )
+    out = nodes.join(
+        e.select(F.col("src").alias("id"), F.col("dst").alias("_c")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("_c", "id").alias("component"))
+    return out
+
+
+def corpus_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 16,
+    bands: int = 4,
+    k_shingle: int = 3,
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """One-call corpus deduplication — the composition a training-data
+    pipeline actually runs: **exact → MinHash-LSH pairs over the exact
+    survivors → connected components → canonical keep-list**.
+
+    Returns the full drop manifest, one row per input doc:
+    ``(doc_id, canonical_id, reason)`` with ``reason ∈ {'kept',
+    'exact', 'near'}``; the deduplicated corpus is
+    ``manifest.filter(reason == 'kept')`` joined back on id (or an
+    anti-join of the drops). ``canonical_id`` is the FINAL
+    representative: an exact-dropped doc whose exact canonical was
+    itself near-dropped resolves through to the component minimum.
+
+    Scale shape: one fingerprint window (shuffle on the fingerprint),
+    minhash banding over only the exact survivors (the expensive stage
+    sees the shrunk corpus), O(log n) star rounds for components, then
+    two slim id-keyed joins to stitch the manifest — no step is
+    quadratic in the corpus.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("_t")
+    )
+    # exact stage: canonical = min id per normalized-text fingerprint
+    ecanon = base.withColumn(
+        "ecanon",
+        F.min("id").over(Window.partitionBy(fingerprint(F.col("_t")))),
+    ).persist()
+    survivors = ecanon.filter(F.col("id") == F.col("ecanon"))
+    pairs = minhash_lsh_pairs(
+        survivors, id_col="id", text_col="_t",
+        n_perm=n_perm, bands=bands, k_shingle=k_shingle,
+    )
+    comp = dedup_components(
+        pairs, id_a="id_a", id_b="id_b", max_iter=max_iter, stats=stats
+    )
+    # near canonical over survivors (docs in no component keep themselves)
+    near = (
+        survivors.select("id")
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias("_sid"),
+            F.coalesce("component", "id").alias("ncanon"),
+        )
+    )
+    out = (
+        ecanon.select("id", "ecanon")
+        .join(near, F.col("ecanon") == F.col("_sid"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("ncanon").alias("canonical_id"),
+            F.when(F.col("id") != F.col("ecanon"), F.lit("exact"))
+            .when(F.col("id") != F.col("ncanon"), F.lit("near"))
+            .otherwise(F.lit("kept"))
+            .alias("reason"),
+        )
+    )
+    return out
 
 
 def exact_dedup(
@@ -184,6 +313,7 @@ def ngram_jaccard_pairs(
     k_shingle: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -195,12 +325,17 @@ def ngram_jaccard_pairs(
     shingle shared by f docs contributes O(f²) join rows, so one
     boilerplate shingle at f=10^5 detonates the self-join. Shingles
     with document frequency > max_df are dropped from the inverted
-    index (their count is logged via the returned plan's filter); set
-    sizes |A|,|B| keep the full shingle sets, so pairs supported by
-    surviving shingles score their true Jaccard — pairs similar ONLY
-    through dropped ubiquitous shingles are (deliberately) not
-    reported. With max_df above the corpus's true max df the result
-    is exact.
+    index; set sizes |A|,|B| keep the full shingle sets, so pairs
+    supported by surviving shingles score their true Jaccard — pairs
+    similar ONLY through dropped ubiquitous shingles are
+    (deliberately) not reported. With max_df above the corpus's true
+    max df the result is exact.
+
+    NO SILENT CAP: when ``max_df`` engages, the number of dropped
+    shingles and of affected (id, shingle) postings is counted off the
+    already-materialized hot set, logged at WARNING, and written into
+    ``stats`` (``dropped_shingles``, ``dropped_postings``) when a dict
+    is passed.
     """
     sh = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
@@ -212,11 +347,30 @@ def ngram_jaccard_pairs(
             exploded.groupBy("s")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df)
-            .select("s")
+            .select("s", "df")
+            .persist()
         )
+        drop = hot.agg(
+            F.count(F.lit(1)).alias("shingles"),
+            F.coalesce(F.sum("df"), F.lit(0)).alias("postings"),
+        ).head()
+        if stats is not None:
+            stats["dropped_shingles"] = int(drop["shingles"])
+            stats["dropped_postings"] = int(drop["postings"])
+        if drop["shingles"]:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: max_df=%d dropped %d hot shingle(s) "
+                "covering %d postings — pairs supported only by these "
+                "shingles will not be reported",
+                max_df, drop["shingles"], drop["postings"],
+            )
         # the hot set is tiny by construction (few shingles can exceed
         # a large df) → broadcast anti-join
-        exploded = exploded.join(F.broadcast(hot), "s", "left_anti")
+        exploded = exploded.join(
+            F.broadcast(hot.select("s")), "s", "left_anti"
+        )
     l, r = exploded.alias("l"), exploded.alias("r")
     shared = (
         l.join(r, (F.col("l.s") == F.col("r.s")) & (F.col("l.id") < F.col("r.id")))

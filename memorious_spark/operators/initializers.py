@@ -118,28 +118,53 @@ def _strftime_to_spark(fmt: str) -> str:
 def template_col(template: str, fields: dict[str, Column]) -> Column:
     """Python %-dict template → Column (the ``url % data`` of the
     reference seed, initializers.py:5-18): ``%(name)s``/``%(name)d``
-    tokens become the generated-field columns, the rest is literal
-    (``%%`` unescapes). Unknown field names fail at compile time —
-    the reference would KeyError per task."""
-    parts: list[Column] = []
-    pos = 0
-    for m in _TMPL_RE.finditer(template):
-        if m.start() > pos:
-            parts.append(F.lit(template[pos:m.start()].replace("%%", "%")))
-        name = m.group(1)
-        if name not in fields:
-            raise KeyError(
-                f"seed template {template!r}: generator emits no field "
-                f"{name!r} (has: {sorted(fields)})"
+    tokens become the generated-field columns, the rest is literal.
+    ``%%`` is tokenized FIRST (split before matching), so an escaped
+    ``%%(name)s`` renders the literal ``%(name)s`` exactly like
+    Python's ``%`` operator — never substituted. Unknown field names
+    and unsupported conversions (``%(n)05d`` etc.) fail at compile
+    time — the reference would ValueError/KeyError per task."""
+    # str parts are merged literals; Columns are field substitutions
+    parts: list[object] = []
+
+    def _lit(s: str) -> None:
+        if s:
+            if parts and isinstance(parts[-1], str):
+                parts[-1] = parts[-1] + s
+            else:
+                parts.append(s)
+
+    def _seg_lit(s: str) -> None:
+        # within one %%-free segment, any residual '%(' is a template
+        # token the supported-conversion regex did NOT consume
+        if "%(" in s:
+            at = s[s.index("%(") :][:24]
+            raise ValueError(
+                f"seed template {template!r}: unsupported % conversion at "
+                f"{at!r} (only %(name)s / %(name)d)"
             )
-        col = fields[name]
-        if m.group(2) == "d":
-            col = col.cast("long")
-        parts.append(col.cast("string"))
-        pos = m.end()
-    if pos < len(template) or not parts:
-        parts.append(F.lit(template[pos:].replace("%%", "%")))
-    return parts[0] if len(parts) == 1 else F.concat(*parts)
+        _lit(s)
+
+    for i, seg in enumerate(template.split("%%")):
+        if i:
+            _lit("%")  # the literal '%' the escape stands for
+        pos = 0
+        for m in _TMPL_RE.finditer(seg):
+            _seg_lit(seg[pos : m.start()])
+            name = m.group(1)
+            if name not in fields:
+                raise KeyError(
+                    f"seed template {template!r}: generator emits no field "
+                    f"{name!r} (has: {sorted(fields)})"
+                )
+            col = fields[name]
+            if m.group(2) == "d":
+                col = col.cast("long")
+            parts.append(col.cast("string"))
+            pos = m.end()
+        _seg_lit(seg[pos:])
+    cols = [F.lit(p) if isinstance(p, str) else p for p in parts] or [F.lit("")]
+    return cols[0] if len(cols) == 1 else F.concat(*cols)
 
 
 def compile_initial_frontier(

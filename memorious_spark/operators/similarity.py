@@ -19,7 +19,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "cosine_sim", "knn_brute_force", "lsh_bucket_col", "knn_lsh",
     "query_probe_buckets", "ivf_seed_centroids", "ivf_assign_col",
-    "ivf_train", "knn_ivf",
+    "ivf_assign_udf", "ivf_assign_join", "ivf_train", "knn_ivf",
+    "build_ann_index", "knn_lsh_serve",
 ]
 
 
@@ -141,6 +142,55 @@ def knn_lsh(
     )
 
 
+def build_ann_index(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the ANN SERVE layout: precompute each vector's
+    sign-LSH bucket and write the corpus **partitioned by bucket**
+    (one directory per bucket). This is the production posture the
+    on-the-fly :func:`knn_lsh` docstring promises: at serve time the
+    probe set becomes a partition filter, so the scan touches only
+    ~(planes+1)/2^planes of the files — verified by the plan test
+    asserting the pruned input-file set."""
+    emb.withColumn(
+        "bucket", lsh_bucket_col(F.col(vec_col), dim, n_planes)
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def knn_lsh_serve(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Top-k against a :func:`build_ann_index` layout. The
+    ``bucket IN (probes)`` predicate is a PARTITION filter (bucket is
+    a partition column), so Spark enumerates only the probed bucket
+    directories — no full-corpus scan, no bucket recomputation; exact
+    cosine re-rank inside the candidates. Result contract is identical
+    to :func:`knn_lsh` over the same vectors."""
+    probes = query_probe_buckets(query_vec, n_planes, multiprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("bucket").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 # ---- IVF (inverted-file) ANN -----------------------------------------
 # The coarse-quantizer scale path: K centroids partition the vector
 # space; every vector is assigned to its nearest centroid's posting
@@ -184,7 +234,19 @@ def ivf_seed_centroids(
         .select((F.col(id_col) / spacing).cast("int").alias("cid"), vec_col)
         .collect()
     )
-    return sorted((r["cid"], [float(x) for x in r[vec_col]]) for r in rows)
+    cents = sorted((r["cid"], [float(x) for x in r[vec_col]]) for r in rows)
+    if len(cents) != n_centroids:
+        # Fail LOUD: downstream assignment paths index centroids by
+        # position == cid; a missing strided seed row would compress
+        # the list and silently probe the wrong posting lists.
+        have = {c for c, _ in cents}
+        raise ValueError(
+            f"ivf_seed_centroids: expected {n_centroids} seed vectors at "
+            f"vec_id = i*{spacing}, found {len(cents)} (missing cids: "
+            f"{sorted(set(range(n_centroids)) - have)}). Reduce "
+            f"n_centroids/spacing or densify the id space."
+        )
+    return cents
 
 
 def ivf_assign_col(
@@ -203,6 +265,89 @@ def ivf_assign_col(
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+# Above this K the literal-expression assignment path (K inlined
+# `aggregate` expressions in ONE Column) exceeds whole-stage-codegen
+# limits and degrades to interpreted eval; centroids become DATA.
+_IVF_LITERAL_MAX_K = 16
+
+
+def ivf_assign_udf(centroids: list[tuple[int, list[float]]]):
+    """Nearest-centroid assignment as an Arrow-vectorized pandas UDF:
+    the K·dim centroid matrix ships once per task in the closure, each
+    Arrow batch is one numpy matmul + argmin. ZERO shuffle, K unbounded
+    (the production path for K ≈ 10³ cells over a 100 TB corpus — the
+    literal-Column path blows codegen past ~16 centroids). Ties break
+    to the lowest cid via numpy argmin's first-occurrence rule, same
+    contract as ``ivf_assign_col``'s array_position."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.array([c for _cid, c in centroids], dtype=np.float64)
+    cnorm2 = (cmat * cmat).sum(axis=1)
+
+    @pandas_udf("int")
+    def _assign(vecs):
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        if x.size == 0:
+            import pandas as pd
+
+            return pd.Series([], dtype="int32")
+        # ||x - c||^2 = ||x||^2 - 2 x·c + ||c||^2; the ||x||^2 term is
+        # constant per row, so argmin needs only -2 x·c + ||c||^2
+        d = cnorm2[None, :] - 2.0 * (x @ cmat.T)
+        import pandas as pd
+
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return _assign
+
+
+def ivf_assign_join(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment as a broadcast centroid-table join +
+    min-by-distance aggregate: emb ⨯ broadcast(K centroids) → dist2 →
+    ``min_by(cid, (dist2, cid))`` per vector. Keeps everything JVM-side
+    with K as real data (no codegen ceiling), at the cost of one
+    groupBy(id) shuffle of K×n slim rows — prefer ``ivf_assign_udf``
+    when a shuffle-free plan matters more than staying off Python.
+    Returns (id_col, _b)."""
+    spark = emb.sparkSession
+    cents_df = spark.createDataFrame(
+        [(cid, [float(x) for x in c]) for cid, c in centroids],
+        f"cid int, centroid array<double>",
+    )
+    crossed = emb.select(id_col, vec_col).crossJoin(F.broadcast(cents_df))
+    d2 = _dist2(F.col(vec_col), F.col("centroid"))
+    return (
+        crossed.select(
+            F.col(id_col),
+            F.col("cid"),
+            d2.alias("_d2"),
+        )
+        # min_by with a (dist, cid) struct: lowest distance, ties → lowest
+        # cid — identical tie rule to the literal/udf paths
+        .groupBy(id_col)
+        .agg(
+            F.min_by("cid", F.struct(F.col("_d2"), F.col("cid"))).alias("_b")
+        )
+    )
+
+
+def _assign_bucket_col(
+    vec_col: str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Pick the assignment strategy by K: literal Column while it still
+    codegens (fastest at tiny K — benched), Arrow-vectorized numpy
+    argmin beyond (shuffle-free, unbounded K)."""
+    if len(centroids) <= _IVF_LITERAL_MAX_K:
+        return ivf_assign_col(F.col(vec_col), centroids)
+    return ivf_assign_udf(centroids)(F.col(vec_col))
+
+
 def ivf_train(
     emb: DataFrame,
     n_centroids: int = 8,
@@ -219,7 +364,7 @@ def ivf_train(
     buckets keep their previous centroid."""
     cents = ivf_seed_centroids(emb, n_centroids, spacing, id_col, vec_col)
     for _ in range(n_iter):
-        assigned = emb.withColumn("_b", ivf_assign_col(F.col(vec_col), cents))
+        assigned = emb.withColumn("_b", _assign_bucket_col(vec_col, cents))
         means = (
             assigned.select("_b", F.posexplode(vec_col).alias("d", "x"))
             .groupBy("_b", "d")
@@ -270,7 +415,7 @@ def knn_ivf(
         for cid, cv in cents
     )
     probes = [cid for _d, cid in qdist[:nprobe]]
-    assigned = emb.withColumn("_b", ivf_assign_col(F.col(vec_col), cents))
+    assigned = emb.withColumn("_b", _assign_bucket_col(vec_col, cents))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         assigned.filter(F.col("_b").isin(probes))

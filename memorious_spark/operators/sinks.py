@@ -70,6 +70,14 @@ def directory_sink(
     them; writes go through pyarrow's buffered output streams.
     """
     out_dir = f"{path.rstrip('/')}/{crawler}"
+    if "://" not in out_dir:
+        # pyarrow's FileSystem.from_uri rejects scheme-less relative
+        # paths (ArrowInvalid: empty scheme); resolve on the DRIVER so
+        # every executor writes to the same absolute location even if
+        # their working directories differ
+        import os
+
+        out_dir = "file://" + os.path.abspath(out_dir)
     cols = [c for c in results.columns if c not in ("html",)]
     slim = results.select(*cols).filter(F.col("content_hash").isNotNull())
 
@@ -182,13 +190,10 @@ def db_sink_run(
     )
 
     def _merge_into(tname: str, tbatch: DataFrame, keys: list[str]) -> None:
-        existing = store.read_shared(spark, f"db_{tname}")
-        merged = (
-            merge_upsert(existing, tbatch, keys, now_ts)
-            if keys
-            else _append_only(existing, tbatch, now_ts)
-        )
-        store.replace_shared(f"db_{tname}", merged)
+        # O(batch) sink: one stamped delta append; merge_upsert's
+        # contract is realized at read time by the store's delta
+        # resolution (storage.upsert_shared — the Iceberg-MERGE seam)
+        store.upsert_shared(spark, f"db_{tname}", tbatch, keys, now_ts)
 
     _merge_into(table, batch, unique)
 
@@ -230,9 +235,8 @@ def ftm_store(
         "fragment", F.coalesce(F.col("fragment"), F.lit(""))
     )
     keys = ["id", "fragment"]
-    existing = store.read_shared(spark, f"ftm_{dataset}")
-    merged = merge_upsert(existing, entities, keys, now_ts)
-    store.replace_shared(f"ftm_{dataset}", merged)
+    # O(batch) delta append; the (id, fragment) MERGE resolves at read
+    store.upsert_shared(spark, f"ftm_{dataset}", entities, keys, now_ts)
     return store.read_shared(spark, f"ftm_{dataset}")
 
 

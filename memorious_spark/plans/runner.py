@@ -306,8 +306,14 @@ class CrawlRunner:
         # incrementally-maintained seen bloom (engages past
         # _BLOOM_MIN_ROWS): built ONCE from the seen snapshot, then
         # each round ORs in only its new hashes — never rebuilt from
-        # the full set unless growth exceeds the sized capacity
+        # the full set unless growth exceeds the sized capacity. A
+        # resume reloads the committed bitmap instead of paying a
+        # full-seen-scan rebuild at first engagement (the scan is
+        # largest exactly when resuming matters).
         bloom, bloom_capacity = None, 0
+        if start_round > 0 and (saved := store.load_bloom()) is not None:
+            bitmap, m, k, bloom_capacity = saved
+            bloom = (bitmap, m, k)
         while rnd < cfg.max_rounds:
             if store.abort_requested():
                 status = "aborted"
@@ -418,18 +424,25 @@ class CrawlRunner:
                 F.count(F.lit(1)).alias("hits"),
                 F.count(F.when(F.col("_emit"), 1)).alias("emitted"),
             )
-            store_pre = observed.filter(F.col("_emit") & store_rule)
-            if cfg.clean_html_paths:
+            def _store_projection(df):
                 # clean_html store-path transform (operations/clean.py:
                 # 11-26): stored rows carry the re-serialized cleaned
                 # DOM + its new hash; a failed/non-HTML clean passes
                 # the original through (the reference emits data
-                # unchanged when the doc is None)
-                store_pre = store_pre.withColumn(
-                    "text", F.coalesce("clean_text", "text")
-                ).withColumn(
-                    "content_hash", F.coalesce("clean_hash", "content_hash")
-                )
+                # unchanged when the doc is None). The reference mutates
+                # data['content_hash'] BEFORE any skip_incremental, so
+                # every downstream consumer — store skip AND inc_tags —
+                # must see the cleaned hash (one shared projection).
+                df = df.filter(F.col("_emit") & store_rule)
+                if cfg.clean_html_paths:
+                    df = df.withColumn(
+                        "text", F.coalesce("clean_text", "text")
+                    ).withColumn(
+                        "content_hash", F.coalesce("clean_hash", "content_hash")
+                    )
+                return df
+
+            store_pre = _store_projection(observed)
             if cfg.incremental:
                 # skip_incremental: unchanged (url, content_hash) pairs
                 # — replayed rows and same-content re-fetches — are not
@@ -608,8 +621,12 @@ class CrawlRunner:
                     store.append_shared, "http_cache",
                     cache_entries(parsed, run_id_str, cfg.expire_days, now_ts),
                 ))
+                # inc_tags key off the SAME cleaned-hash projection the
+                # store skip used — otherwise the test-and-set compares
+                # a raw fetch hash against a stored cleaned hash and
+                # never matches (context.py:127-148 + operations/clean.py)
                 inc_keys = skip_unchanged(
-                    parsed.filter(F.col("_emit") & store_rule), inc_df, now_ts
+                    _store_projection(parsed), inc_df, now_ts
                 ).select("url_hash", "content_hash")
                 futs.append(pool.submit(
                     store.append_shared, "inc_tags",
@@ -645,6 +662,10 @@ class CrawlRunner:
 
             totals["fetched"] += n_hits
             totals["stored"] += n_stored
+            if bloom is not None:
+                # checkpoint the bitmap BEFORE the manifest advances
+                # (load_bloom docstring has the ordering argument)
+                store.save_bloom(bloom[0], bloom[1], bloom[2], bloom_capacity)
             store.commit_round(
                 rnd,
                 {

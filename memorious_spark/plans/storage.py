@@ -130,10 +130,16 @@ class RunStore:
         over it and the recompute would otherwise re-list the dir and
         see the writer's own output (observed: a sequence-tag anti-join
         that erased its own batch). Iceberg gives this for free via
-        snapshot ids; pinned file lists are the parquet-dir analogue."""
+        snapshot ids; pinned file lists are the parquet-dir analogue.
+
+        Tables written through :meth:`upsert_shared` (db_*/ftm_* sink
+        tables) resolve their delta stack transparently here — every
+        consumer sees the merged view."""
         p = self.shared_path(table)
         if not p.is_dir():
             return None
+        if self._upsert_meta_path(table).exists():
+            return self._read_resolved(spark, table)
         files = sorted(str(f) for f in p.glob("*.parquet"))
         if not files:
             return None
@@ -142,6 +148,135 @@ class RunStore:
 
     def append_shared(self, table: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(str(self.shared_path(table)))
+
+    # ---- upsert-shared: append + minor-compact (LSM over parquet) ---
+    # The db_*/ftm_* sink tables used to be rewritten whole per run
+    # (read → merge → swap): correct, but O(table) per crawl — at a
+    # 10^9-row sink that full rewrite dominates the run. This scheme
+    # makes a run's sink cost O(batch): each run APPENDS one stamped
+    # delta (``delta=V/`` dir, rows carry ``__v = V``), upsert
+    # semantics are resolved at READ time (latest __v per key wins for
+    # data columns + __last_seen; __first_seen is the min over
+    # versions — exactly ``merge_upsert``'s contract), and a minor
+    # compaction folds the deltas into one base dir once their count
+    # passes ``compact_after`` (amortized O(table)/compact_after per
+    # run). On an Iceberg catalog this whole layer is MERGE INTO +
+    # snapshot expiry; the delta-dir layout is the parquet analogue,
+    # and the seam (upsert_shared/read_shared) is where the catalog
+    # would plug in. Single-writer per crawler (one driver per run —
+    # the engine's execution model) is assumed, as with the manifest.
+
+    def _upsert_meta_path(self, table: str) -> Path:
+        return self.shared_path(table) / "_upsert_meta.json"
+
+    def upsert_shared(
+        self,
+        spark: SparkSession,
+        table: str,
+        batch: DataFrame,
+        keys: list[str],
+        now_ts: str,
+        compact_after: int = 8,
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        p = self.shared_path(table)
+        self._recover_compaction(p)
+        p.mkdir(parents=True, exist_ok=True)
+        meta_path = self._upsert_meta_path(table)
+        if meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+            if meta["keys"] != list(keys):
+                raise ValueError(
+                    f"shared table {table!r} was created with merge keys "
+                    f"{meta['keys']} — got {list(keys)}"
+                )
+        else:
+            meta_path.write_text(json.dumps({"keys": list(keys)}))
+        versions = self._delta_versions(p)
+        v = (versions[-1] + 1) if versions else 0
+        ts = F.to_timestamp(F.lit(now_ts))
+        stamped = (
+            (batch.dropDuplicates(keys) if keys else batch)
+            .withColumn("__first_seen", ts)
+            .withColumn("__last_seen", ts)
+            .withColumn("__v", F.lit(v))
+        )
+        stamped.write.mode("overwrite").parquet(str(p / f"delta={v}"))
+        if len(versions) + 1 > compact_after:
+            self.compact_shared(spark, table)
+
+    @staticmethod
+    def _delta_versions(p: Path) -> list[int]:
+        if not p.is_dir():
+            return []
+        return sorted(
+            int(d.name.split("=")[1])
+            for d in p.glob("delta=*")
+            if d.is_dir() and "__new" not in d.name
+        )
+
+    @staticmethod
+    def _recover_compaction(p: Path) -> None:
+        """Crash recovery: a finished ``__new`` dir with no live delta
+        dirs means the crash hit between the old-delta removal and the
+        final rename — finish the rename."""
+        if not p.is_dir():
+            return
+        pend = list(p.glob("delta=*__new"))
+        if pend and not RunStore._delta_versions(p):
+            tgt = p / pend[0].name.replace("__new", "")
+            pend[0].rename(tgt)
+
+    def _read_resolved(
+        self, spark: SparkSession, table: str
+    ) -> DataFrame | None:
+        from pyspark.sql import Window, functions as F
+
+        p = self.shared_path(table)
+        self._recover_compaction(p)
+        versions = self._delta_versions(p)
+        if not versions:
+            return None
+        raw = spark.read.parquet(
+            *[str(p / f"delta={v}") for v in versions]
+        )
+        keys = json.loads(self._upsert_meta_path(table).read_text())["keys"]
+        if not keys:
+            return raw.drop("__v")  # append-only: the union IS the table
+        w = Window.partitionBy(*keys).orderBy(F.col("__v").desc())
+        latest = (
+            raw.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "__first_seen")
+        )
+        firsts = raw.groupBy(*keys).agg(
+            F.min("__first_seen").alias("__first_seen")
+        )
+        # window + groupBy share the keys partitioning (one shuffle,
+        # exchange reused), then a co-partitioned join
+        return latest.join(firsts, keys).drop("__v")
+
+    def compact_shared(self, spark: SparkSession, table: str) -> None:
+        """Minor compaction: fold every delta into one base dir whose
+        rows carry the RESOLVED values at the next version number.
+        Write-new → remove-old → rename, with read-side recovery for
+        the one non-atomic window."""
+        from pyspark.sql import functions as F
+
+        p = self.shared_path(table)
+        versions = self._delta_versions(p)
+        if len(versions) <= 1:
+            return
+        v_new = versions[-1] + 1
+        resolved = self._read_resolved(spark, table).withColumn(
+            "__v", F.lit(v_new)
+        )
+        tmp = p / f"delta={v_new}__new"
+        resolved.write.mode("overwrite").parquet(str(tmp))
+        for v in versions:
+            shutil.rmtree(p / f"delta={v}", ignore_errors=True)
+        tmp.rename(p / f"delta={v_new}")
 
     def replace_shared(self, table: str, df: DataFrame) -> None:
         """Version-swap rewrite of a shared table (``df`` may read the
@@ -171,6 +306,39 @@ class RunStore:
         shared_root = self.dir.parent / "_shared"
         if shared_root.is_dir():
             shutil.rmtree(shared_root)
+
+    # ---- URL-seen bloom checkpoint ----------------------------------
+    # The runner maintains the seen bloom incrementally across rounds;
+    # rebuilding it from the full seen set on resume costs a full
+    # table scan exactly when the set is largest. Persist (bitmap, m,
+    # k, capacity) beside the manifest at every commit (BEFORE the
+    # manifest advances, so a loaded bloom always covers at least the
+    # committed rounds — a bloom from a later crashed round only adds
+    # false POSITIVES, which the exact anti-join absorbs; false
+    # negatives are the hazard and the ordering rules them out).
+
+    def save_bloom(self, bitmap, m: int, k: int, capacity: int) -> None:
+        import numpy as np
+
+        tmp = self.dir / "bloom.npz.tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(
+                fh, bitmap=bitmap, m=np.int64(m), k=np.int64(k),
+                capacity=np.int64(capacity),
+            )
+        tmp.replace(self.dir / "bloom.npz")  # atomic on POSIX
+
+    def load_bloom(self):
+        """(bitmap, m, k, capacity) or None — resume-side reload."""
+        import numpy as np
+
+        p = self.dir / "bloom.npz"
+        if not p.exists():
+            return None
+        d = np.load(p)
+        return (
+            d["bitmap"], int(d["m"]), int(d["k"]), int(d["capacity"])
+        )
 
     def commit_round(self, rnd: int, stats: dict) -> None:
         """Advance the manifest: round ``rnd`` is durable and complete."""

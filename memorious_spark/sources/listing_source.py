@@ -102,6 +102,11 @@ def listing_source(
             _flush()
     if spool_dir is not None:
         _flush()
+        if n_parts == 0:
+            # zero files listed (empty tree / all over max_depth): no
+            # parquet part was ever spooled, so reading the dir would
+            # raise PATH_NOT_FOUND — match the in-memory path's empty DF
+            return spark.createDataFrame([], LISTING_SCHEMA)
         return spark.read.schema(LISTING_SCHEMA).parquet(spool_dir)
     return spark.createDataFrame(rows, LISTING_SCHEMA)
 

@@ -62,6 +62,8 @@ def run_streaming_crawl(
     cache_store=None,
     run_id: str = "stream",
     now_ts: str = "2024-01-01 00:00:00",
+    retry_dir: str | None = None,
+    max_retries: int = 3,
 ):
     """Continuous crawl ingest: every micro-batch of seed URLs is
     canonicalized, deduped against the persistent seen table, probed
@@ -73,18 +75,40 @@ def run_streaming_crawl(
     ``politeness_budget`` applies the per-host budget ON the stream
     via the keyed-state park/release operator: at most ``budget`` urls
     per host per trigger, FIFO, the excess parked in checkpointed
-    state and drained on later triggers. Returns the StreamingQuery."""
+    state and drained on later triggers.
+
+    ``retry_dir`` gives corpus-miss rows the batch face's retry
+    semantics (fetch.py retry-as-rounds): a url that joins NO corpus
+    row is parked as a retry file ``(url, emit_seq, attempt+1)`` and
+    the same directory is unioned into the stream as a second file
+    source, so the miss re-enters on a later trigger — through the
+    politeness operator like any other candidate (attempt rides the
+    keyed state) — and succeeds once the corpus has gained the row.
+    Attempts beyond ``max_retries`` land in ``<retry_dir>_dead``
+    instead (no silent drop). Retried rows bypass the seen anti-join
+    exactly like the batch face's retry frontier rows (their hash was
+    marked seen at first emission). Returns the StreamingQuery."""
     parse_config = parse_config or ParseConfig()
     seen_path = seen_dir or f"{out_dir}/_seen"
 
-    stream = seeds_stream
+    stream = seeds_stream.withColumn("attempt", F.lit(0))
+    if retry_dir is not None:
+        import os
+
+        os.makedirs(retry_dir, exist_ok=True)
+        retries = (
+            spark.readStream.schema("url string, emit_seq long, attempt int")
+            .option("recursiveFileLookup", "true")
+            .parquet(retry_dir)
+        )
+        stream = stream.unionByName(retries)
     if politeness_budget is not None:
-        cands = seeds_stream.withColumn("host", host_col(F.col("url")))
+        cands = stream.withColumn("host", host_col(F.col("url")))
         stream = politeness_release(
-            cands.select("host", "url", "emit_seq"),
+            cands.select("host", "url", "emit_seq", "attempt"),
             politeness_budget,
             timeout_ms=politeness_timeout_ms,
-        ).select("url", "emit_seq")
+        ).select("url", "emit_seq", "attempt")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         frontier = (
@@ -96,13 +120,20 @@ def run_streaming_crawl(
             .withColumn("priority", F.lit(0.0))
             .withColumn("src_url", F.lit(None).cast("string"))
             .withColumn("link_idx", F.lit(None).cast("int"))
-            .withColumn("attempt", F.lit(0))
         )
+        if "attempt" not in batch_df.columns:
+            frontier = frontier.withColumn("attempt", F.lit(0))
         try:
             seen = spark.read.parquet(seen_path)
         except Exception:
             seen = None
-        fresh = dedup_new(frontier, seen).persist()
+        # retry re-entries (attempt > 0) bypass the seen anti-join —
+        # their hash was marked seen when they first emitted, exactly
+        # like the batch runner's retry frontier rows
+        first_time = frontier.filter(F.col("attempt") == 0)
+        fresh = dedup_new(first_time, seen).unionByName(
+            frontier.filter(F.col("attempt") > 0)
+        ).persist()
         # Idempotent replay order: results land in a batch-id-keyed dir
         # with OVERWRITE (a retried batch replaces its own output —
         # never duplicates, never loses rows), and only then do the
@@ -141,6 +172,35 @@ def run_streaming_crawl(
                 ),
             )
         fresh.select("url_hash").write.mode("append").parquet(seen_path)
+        if retry_dir is not None:
+            # corpus misses: candidates whose hash joined no corpus
+            # row — park (url, emit_seq, attempt+1) back into the
+            # retry source; exhausted attempts go to the dead-letter
+            # dir so nothing ever vanishes silently
+            misses = (
+                fresh.join(
+                    parsed.select("url_hash").distinct(),
+                    "url_hash",
+                    "left_anti",
+                )
+                .select(
+                    "url", "emit_seq",
+                    (F.col("attempt") + 1).cast("int").alias("attempt"),
+                )
+                .persist()
+            )
+            # batch-id-keyed OVERWRITE like the results write: a
+            # replayed batch replaces its own park files instead of
+            # duplicating them (the retry source lists recursively)
+            misses.filter(F.col("attempt") <= max_retries).write.mode(
+                "overwrite"
+            ).parquet(f"{retry_dir}/batch={batch_id}")
+            dead = misses.filter(F.col("attempt") > max_retries)
+            if dead.head(1):
+                dead.write.mode("overwrite").parquet(
+                    f"{retry_dir}_dead/batch={batch_id}"
+                )
+            misses.unpersist()
         parsed.unpersist()
         fresh.unpersist()
 

@@ -32,8 +32,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["politeness_release"]
 
-_STATE_SCHEMA = "pending_urls array<string>, pending_seqs array<long>, served long"
-_OUT_SCHEMA = "host string, url string, emit_seq long, served_total long"
+_STATE_SCHEMA = (
+    "pending_urls array<string>, pending_seqs array<long>, "
+    "pending_atts array<int>, served long"
+)
+_OUT_SCHEMA = (
+    "host string, url string, emit_seq long, attempt int, served_total long"
+)
 
 # park at most this many urls per host — beyond it, newest are dropped
 # (the batch engine's frontier has no such cap; a stream must bound
@@ -47,7 +52,7 @@ def politeness_release(
     timeout_ms: int | None = None,
     max_pending: int = _MAX_PENDING,
 ) -> DataFrame:
-    """``candidates`` (streaming: host, url, emit_seq) → at most
+    """``candidates`` (streaming: host, url, emit_seq, attempt) → at most
     ``budget`` rows per host per trigger, FIFO by emit_seq, the rest
     parked in keyed state and released on later triggers.
 
@@ -67,15 +72,20 @@ def politeness_release(
     ) -> Iterator[pd.DataFrame]:
         host = key[0]
         if state.exists:
-            p_urls, p_seqs, served = state.get
-            pending = list(zip(p_urls, p_seqs))
+            p_urls, p_seqs, p_atts, served = state.get
+            pending = list(zip(p_urls, p_seqs, p_atts))
         else:
             pending, served = [], 0
 
         if not state.hasTimedOut:
             fresh = []
             for pdf in pdfs:
-                fresh.extend(zip(pdf["url"], pdf["emit_seq"]))
+                atts = (
+                    pdf["attempt"]
+                    if "attempt" in pdf.columns
+                    else [0] * len(pdf)
+                )
+                fresh.extend(zip(pdf["url"], pdf["emit_seq"], atts))
             fresh.sort(key=lambda t: t[1])
             pending.extend(fresh)  # state is already FIFO; append batch
         pending = pending[:max_pending]
@@ -83,15 +93,17 @@ def politeness_release(
         out, rest = pending[:budget], pending[budget:]
         served += len(out)
         state.update((
-            [u for u, _ in rest], [int(s) for _, s in rest], served,
+            [u for u, _, _ in rest], [int(s) for _, s, _ in rest],
+            [int(a) for _, _, a in rest], served,
         ))
         if timeout_ms is not None and rest:
             state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
                 "host": [host] * len(out),
-                "url": [u for u, _ in out],
-                "emit_seq": [int(s) for _, s in out],
+                "url": [u for u, _, _ in out],
+                "emit_seq": [int(s) for _, s, _ in out],
+                "attempt": [int(a) for _, _, a in out],
                 "served_total": [served] * len(out),
             }
         )

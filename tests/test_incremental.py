@@ -148,3 +148,38 @@ def test_flush_crawler_resets_to_first_run(spark, runs, tmp_path_factory):
     corpus.unpersist()
     assert res3.pages_stored == res1.pages_stored  # like run 1 again
     assert res3.pages_fetched == res1.pages_fetched
+
+
+def test_clean_html_incremental_skips_unchanged(spark, tmp_path_factory):
+    """clean_html + incremental must share ONE content_hash: inc_tags
+    are written from the same cleaned-hash projection the store skip
+    reads (operations/clean.py replaces data['content_hash'] BEFORE
+    skip_incremental). Regression: run 2 over an identical corpus with
+    clean_html configured must store ZERO pages — with inc_tags keyed
+    on the raw fetch hash, the test-and-set never matched and every
+    page re-stored forever."""
+    root = tmp_path_factory.mktemp("inc_clean")
+    cfg = dataclasses.replace(
+        CFG, name="incclean", clean_html_paths=(".//img",)
+    )
+    corpus = build_corpus(spark, _docs(spark), N_DOCS).persist()
+    corpus.count()
+    res1 = CrawlRunner(spark, cfg, RunStore(root, "incclean", "r1")).run(
+        corpus, now_ts="2024-01-02 00:00:00"
+    )
+    store2 = RunStore(root, "incclean", "r2")
+    res2 = CrawlRunner(spark, cfg, store2).run(
+        corpus, now_ts="2024-01-03 00:00:00"
+    )
+    corpus.unpersist()
+    assert res1.pages_stored > 50
+    assert res2.pages_fetched == res1.pages_fetched
+    assert res2.pages_stored == 0
+    # and the inc_tags table carries the CLEANED hash, not the raw one
+    tags = store2.read_shared(spark, "inc_tags")
+    stored1 = RunStore(root, "incclean", "r1").read_all(
+        spark, "results", res1.rounds
+    )
+    clean_hashes = {r["content_hash"] for r in stored1.collect()}
+    tag_hashes = {r["content_hash"] for r in tags.collect()}
+    assert tag_hashes == clean_hashes

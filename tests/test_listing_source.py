@@ -66,3 +66,14 @@ def test_retrieve_files_parallel(spark):
     assert got["/root/a.txt"]["n_bytes"] == len(body)
     # failed transfer → null payload, row survives
     assert got["/root/sub/loop/c.bin"]["payload"] is None
+
+
+def test_listing_spool_empty_tree_returns_empty_df(spark, tmp_path):
+    """Zero files listed with spool_dir set: no parquet part is ever
+    flushed — must return an empty DF like the in-memory path, not
+    raise PATH_NOT_FOUND on the unreadable spool dir."""
+    df = listing_source(
+        spark, lambda path: [], ["/root"], spool_dir=str(tmp_path / "sp")
+    )
+    assert df.count() == 0
+    assert df.columns == ["path", "parent", "depth", "size"]

@@ -245,12 +245,18 @@ def test_ngram_df_cap_drops_hot_shingle(spark):
     rows = [(i, f"common boiler plate unique{i} words here") for i in range(10)]
     rows += [(100, "alpha beta gamma delta eps"), (101, "alpha beta gamma delta zeta")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
     capped = {
         (r["id_a"], r["id_b"])
-        for r in dedup.ngram_jaccard_pairs(df, threshold=0.3, max_df=5).collect()
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.3, max_df=5, stats=stats
+        ).collect()
     }
     assert (100, 101) in capped
     assert not any(a < 100 and b < 100 for a, b in capped)
+    # NO SILENT CAP: the drop is surfaced — exactly the one boilerplate
+    # shingle ('common boiler plate'), present in all 10 docs
+    assert stats == {"dropped_shingles": 1, "dropped_postings": 10}
 
 
 def test_embedding_lsh_pairs_match_exact_on_near_dups(spark):
@@ -573,3 +579,205 @@ def test_checks(spark):
     assert [r["ne"] for r in got] == [True, False]
     with pytest.raises(ValueError):
         checks.assert_valid(df, checks.is_numeric(F.col("a")), "numeric-a")
+
+
+def test_ivf_assignment_paths_agree(spark):
+    """Centroids-as-data parity: the Arrow-UDF argmin and the broadcast
+    join + min_by aggregate must assign every vector to the same cell
+    as the literal-Column path (same lowest-cid tie rule)."""
+    import math
+
+    rows = [
+        (i, [math.sin(0.3 * i + d) + 0.01 * ((i + d) % 7) for d in range(4)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_seed_centroids(emb, n_centroids=4, spacing=3)
+    lit = {
+        r["vec_id"]: r["_b"]
+        for r in emb.select(
+            "vec_id",
+            similarity.ivf_assign_col(F.col("embedding"), cents).alias("_b"),
+        ).collect()
+    }
+    udf = {
+        r["vec_id"]: r["_b"]
+        for r in emb.select(
+            "vec_id",
+            similarity.ivf_assign_udf(cents)(F.col("embedding")).alias("_b"),
+        ).collect()
+    }
+    join = {
+        r["vec_id"]: r["_b"]
+        for r in similarity.ivf_assign_join(emb, cents).collect()
+    }
+    assert lit == udf == join
+
+
+def test_ivf_k256_beyond_literal_codegen(spark):
+    """K=256 — far past the literal-expression codegen ceiling
+    (_IVF_LITERAL_MAX_K=16): knn_ivf auto-routes assignment through the
+    vectorized numpy path; probing ALL 256 cells is exact, so the
+    result must equal brute force over the sf0.01 embeddings table."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.01")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 123).head()["embedding"]
+    got = similarity.knn_ivf(
+        emb, list(q), k=5, n_centroids=256, nprobe=256, spacing=1
+    ).collect()
+    brute = similarity.knn_brute_force(emb, list(q), k=5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in brute
+    ]
+
+
+def test_ivf_missing_seed_row_fails_loud(spark):
+    """A strided seed id absent from the table must raise — positions
+    silently stopping to equal cids would probe the wrong lists."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10) if i != 3],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="missing cids: \\[1\\]"):
+        similarity.ivf_seed_centroids(emb, n_centroids=4, spacing=3)
+
+
+def test_seed_template_percent_escape_and_bad_conversion(spark):
+    """`%%(n)s` is an ESCAPED percent followed by literal text under
+    Python's % operator — must render literal `%(n)s`, never
+    substitute; unsupported conversions reject at compile time."""
+    from memorious_spark.operators.initializers import template_col
+
+    df = spark.range(1).select(F.lit(7).alias("n"))
+    got = df.select(
+        template_col(
+            "http://x.com/100%%(n)s/%(n)d", {"n": F.col("n")}
+        ).alias("url")
+    ).head()["url"]
+    assert got == "http://x.com/100%(n)s/7"
+    with pytest.raises(ValueError, match="unsupported % conversion"):
+        template_col("http://x.com/%(n)05d", {"n": F.col("n")})
+
+
+def test_directory_sink_relative_path(spark, tmp_path, monkeypatch):
+    """A scheme-less relative YAML `path` must work (resolved to an
+    absolute file:// URI on the driver) — pyarrow's FileSystem.from_uri
+    rejects relative paths with 'empty scheme' otherwise."""
+    monkeypatch.chdir(tmp_path)
+    df = spark.createDataFrame(
+        [("http://x/1", "hr1", "text/html", "rel text")],
+        "url string, content_hash string, content_type string, text string",
+    )
+    directory_sink(df, "relstore", "crawl")
+    assert (tmp_path / "relstore" / "crawl" / "hr1.data.html").read_text() == (
+        "rel text"
+    )
+
+
+def test_dedup_components_chain_logarithmic(spark):
+    """A 512-node PATH graph (worst case for plain min-label
+    propagation: O(diameter)=256 rounds) must converge in O(log n)
+    star rounds and still label every node with the chain minimum."""
+    import math
+
+    n = 512
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats = {}
+    comp = dedup.dedup_components(pairs, max_iter=50, stats=stats)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
+    assert stats["iterations"] <= 3 * math.log2(n) + 5, stats
+
+
+def test_bloom_persists_across_resume(spark, tmp_path):
+    """Kill AFTER the bloom engaged, resume: the resumed run must
+    reload the committed bitmap (zero build_bloom calls) and still
+    produce exactly the uninterrupted run's results — the false-
+    negative-free contract across the checkpoint boundary."""
+    import dataclasses
+
+    from memorious_spark.plans import runner as runner_mod
+    from memorious_spark.plans.pipeline import CrawlConfig
+    from memorious_spark.plans.runner import CrawlRunner
+    from memorious_spark.plans.storage import RunStore
+    from memorious_spark.sources.corpus import build_corpus, seed_urls
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("body words").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    corpus = build_corpus(spark, docs, 100).persist()
+    corpus.count()
+    cfg = CrawlConfig(name="bloomres", seeds=tuple(seed_urls(3)))
+
+    orig_min, orig_build = runner_mod._BLOOM_MIN_ROWS, runner_mod.build_bloom
+    builds = []
+
+    def counting_build(*a, **kw):
+        builds.append(1)
+        return orig_build(*a, **kw)
+
+    runner_mod._BLOOM_MIN_ROWS = 1
+    runner_mod.build_bloom = counting_build
+    try:
+        ref_store = RunStore(tmp_path, "bloomres", "full")
+        CrawlRunner(spark, cfg, ref_store).run(corpus)
+
+        store = RunStore(tmp_path, "bloomres", "killed")
+        CrawlRunner(
+            spark, dataclasses.replace(cfg, max_rounds=3), store
+        ).run(corpus)
+        assert (store.dir / "bloom.npz").exists()
+        builds.clear()
+        resumed = CrawlRunner(spark, cfg, store).run(corpus, resume=True)
+        assert resumed.status == "done"
+        # the resume NEVER rebuilt from the seen table
+        assert builds == []
+    finally:
+        runner_mod._BLOOM_MIN_ROWS = orig_min
+        runner_mod.build_bloom = orig_build
+    corpus.unpersist()
+
+    rows = lambda s: sorted(  # noqa: E731
+        map(tuple, s.read_all(spark, "results", 60)
+            .select("url", "emit_seq", "content_hash").collect())
+    )
+    assert rows(store) == rows(ref_store)
+    seen = lambda s: {  # noqa: E731
+        r["key_hash"]
+        for r in s.read_all(spark, "seen", 60).select("key_hash").collect()
+    }
+    assert seen(store) == seen(ref_store)
+
+
+def test_lang_guess_twelve_languages(spark):
+    """Accuracy over a synthetic multilingual corpus: one natural-ish
+    sentence per language built from everyday function words — all 12
+    marker languages must classify correctly, gibberish stays 'und'."""
+    samples = [
+        ("en", "the house is big and the garden is part of the town"),
+        ("es", "el perro y la casa que los vecinos tienen es una maravilla"),
+        ("de", "der hund und die katze sind nicht in das haus gegangen"),
+        ("fr", "le chien et les chats sont des animaux et c'est est bien"),
+        ("pt", "não vou para casa com uma pessoa para comprar mais coisas"),
+        ("it", "il cane che corre per la strada della città sono contento"),
+        ("nl", "ik heb het boek van een vriend en niet van de winkel"),
+        ("ru", "я думаю что это не в первый раз и это хорошо"),
+        ("pl", "nie wiem czy to jest dobre i czy się uda w tym roku"),
+        ("tr", "bu bir deneme ve bunun için seninle ile gidiyorum"),
+        ("sv", "det är en bok som jag läste på stranden och det var bra"),
+        ("id", "buku yang saya baca di rumah dan dengan teman untuk belajar"),
+        ("und", "zzz qqq xxx yyy www"),
+    ]
+    df = spark.createDataFrame(samples, "want string, text string")
+    got = df.select(
+        "want", textops.lang_guess(F.col("text")).alias("lang")
+    ).collect()
+    wrong = [(r["want"], r["lang"]) for r in got if r["lang"] != r["want"]]
+    assert not wrong, wrong

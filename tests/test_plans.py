@@ -185,3 +185,64 @@ def test_politeness_two_phase_has_salted_window(spark):
     # exactness: top-5 by emit_seq survive, the rest carry over
     assert sorted(r["emit_seq"] for r in sel.collect()) == [0, 1, 2, 3, 4]
     assert carry.count() == 95
+
+
+def test_ann_serve_scans_only_probed_partitions(spark, tmp_path):
+    """The ANN serve posture, demonstrated (the analogue of the
+    bucketed-corpus join test for similarity): embeddings written
+    PARTITIONED BY the precomputed LSH bucket; a query's probe set
+    becomes a partition filter, so the scan enumerates ONLY the probed
+    bucket directories. Proof is empirical, not just plan-level: a
+    non-probed bucket's data file is corrupted AFTER the query plan is
+    built — the pruned query still answers (it never opens that file)
+    while a full scan chokes on it — and the result is identical to
+    the on-the-fly knn_lsh."""
+    import math
+
+    import pytest as _pytest
+
+    from memorious_spark.operators import similarity
+
+    n_planes, dim, k = 4, 8, 5
+    rows = [
+        (i, [math.sin(0.7 * i + d) + 0.05 * ((i * d) % 5) for d in range(dim)])
+        for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ann_index")
+    similarity.build_ann_index(emb, idx, dim=dim, n_planes=n_planes)
+
+    q = rows[17][1]
+    probes = set(similarity.query_probe_buckets(q, n_planes, multiprobe=True))
+    served = similarity.knn_lsh_serve(
+        spark, idx, q, k=k, n_planes=n_planes
+    )
+    # 1) the bucket predicate lands in PartitionFilters (partition
+    # pruning), not as a post-scan data Filter
+    plan = _plan(served)
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "bucket" in m[0], plan[:3000]
+    # 2) pruning is REAL: corrupt every data file of one non-probed
+    # bucket — the pruned query never opens them...
+    all_buckets = {
+        int(d.name.split("=")[1])
+        for d in (tmp_path / "ann_index").iterdir()
+        if d.name.startswith("bucket=")
+    }
+    assert probes & all_buckets, (probes, all_buckets)
+    victims = sorted(all_buckets - probes)
+    assert victims, "every bucket probed — widen the fixture"
+    full = spark.read.parquet(idx)  # resolved before corruption
+    for part in (tmp_path / "ann_index" / f"bucket={victims[0]}").glob(
+        "*.parquet"
+    ):
+        part.write_bytes(b"not a parquet file")
+    got = served.collect()
+    # ...while an unpruned scan of the same index chokes on them
+    with _pytest.raises(Exception):
+        full.select(F.sum("vec_id")).collect()
+    # 3) identical results to the on-the-fly path
+    flys = similarity.knn_lsh(emb, q, k=k, n_planes=n_planes).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in flys
+    ]

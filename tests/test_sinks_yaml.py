@@ -220,3 +220,68 @@ def test_aggregator_module_function_latebind(spark, corpus, tmp_path_factory):
         )
     with pytest.raises(ValueError, match="unknown aggregator"):
         run_aggregator(spark, store, {"method": "no_colon_here"}, None)
+
+def test_upsert_shared_delta_and_compaction(spark, tmp_path):
+    """The O(batch) sink scheme: each run appends ONE stamped delta
+    (no full-table rewrite), read_shared resolves the stack to exactly
+    merge_upsert's contract, and minor compaction folds the deltas
+    into a single base without changing the resolved view."""
+    from memorious_spark.operators.sinks import merge_upsert
+    from memorious_spark.plans.storage import RunStore
+
+    store = RunStore(tmp_path, "lsm", "r1")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b2 = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    b3 = spark.createDataFrame([(1, "A2")], "k int, v string")
+    store.upsert_shared(spark, "db_t", b1, ["k"], "2024-01-01 00:00:00")
+    store.upsert_shared(spark, "db_t", b2, ["k"], "2024-02-01 00:00:00")
+    store.upsert_shared(spark, "db_t", b3, ["k"], "2024-03-01 00:00:00")
+
+    # three deltas on disk — each run wrote O(batch), never the table
+    deltas = sorted(
+        d.name for d in (store.shared_path("db_t")).glob("delta=*")
+    )
+    assert deltas == ["delta=0", "delta=1", "delta=2"]
+
+    # resolved view == the sequential merge_upsert twin
+    want = merge_upsert(
+        merge_upsert(
+            merge_upsert(None, b1, ["k"], "2024-01-01 00:00:00"),
+            b2, ["k"], "2024-02-01 00:00:00",
+        ),
+        b3, ["k"], "2024-03-01 00:00:00",
+    )
+    cols = ["k", "v", "__first_seen", "__last_seen"]
+    as_rows = lambda df: sorted(  # noqa: E731
+        tuple(map(str, (r[c] for c in cols))) for r in df.collect()
+    )
+    got = store.read_shared(spark, "db_t")
+    assert as_rows(got) == as_rows(want)
+
+    # compaction folds to ONE dir; resolved view unchanged
+    store.compact_shared(spark, "db_t")
+    deltas2 = sorted(
+        d.name for d in (store.shared_path("db_t")).glob("delta=*")
+    )
+    assert deltas2 == ["delta=3"]
+    assert as_rows(store.read_shared(spark, "db_t")) == as_rows(want)
+
+    # upserts after compaction keep working
+    store.upsert_shared(
+        spark, "db_t",
+        spark.createDataFrame([(3, "C")], "k int, v string"),
+        ["k"], "2024-04-01 00:00:00",
+    )
+    rows = {r["k"]: r for r in store.read_shared(spark, "db_t").collect()}
+    assert rows[3]["v"] == "C" and str(rows[3]["__first_seen"]).startswith(
+        "2024-02-01"
+    )
+    # auto minor-compact engages past compact_after
+    for i in range(9):
+        store.upsert_shared(
+            spark, "db_t",
+            spark.createDataFrame([(10 + i, "x")], "k int, v string"),
+            ["k"], "2024-05-01 00:00:00", compact_after=4,
+        )
+    n_dirs = len(list((store.shared_path("db_t")).glob("delta=*")))
+    assert n_dirs <= 5, n_dirs

@@ -215,3 +215,94 @@ def test_stateful_politeness_release(spark, tmp_path):
     assert got2 == [
         ("h1", 0), ("h1", 1), ("h1", 2), ("h1", 3), ("h2", 100)
     ]
+
+
+def test_streaming_corpus_miss_retries_on_later_trigger(spark, tmp_path):
+    """Retry parity with the batch face: a seed url that joins NO
+    corpus row must not vanish — it parks in the retry source with
+    attempt+1 and succeeds on a later trigger once the corpus has
+    gained the row; attempts beyond max_retries land in the
+    dead-letter dir."""
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"), F.lit("txt").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    corpus_small = build_corpus(spark, docs, 30).persist()
+    corpus_small.count()
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    retry_dir = str(tmp_path / "retry")
+
+    # doc 35 is NOT in the 30-doc corpus yet
+    spark.createDataFrame(
+        [(doc_url(1), 0), (doc_url(35), 1)], "url string, emit_seq long"
+    ).coalesce(1).write.parquet(str(seeds_dir / "b1"))
+    stream = stream_seed_source(spark, str(seeds_dir) + "/*")
+    q = run_streaming_crawl(
+        spark, stream, corpus_small, out_dir, ckpt, retry_dir=retry_dir
+    )
+    q.awaitTermination(120)
+    urls1 = {
+        r["final_url"]
+        for r in spark.read.parquet(f"{out_dir}/batch=*").collect()
+    }
+    assert urls1 == {doc_url(1)}
+    parked = spark.read.option("recursiveFileLookup", "true").schema(
+        "url string, emit_seq long, attempt int"
+    ).parquet(retry_dir).collect()
+    assert [(r["url"], r["attempt"]) for r in parked] == [(doc_url(35), 1)]
+
+    # the corpus gains the row → the parked url succeeds on trigger 2
+    docs2 = spark.range(40).select(
+        F.col("id").alias("doc_id"), F.lit("txt").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    corpus_big = build_corpus(spark, docs2, 40).persist()
+    corpus_big.count()
+    q2 = run_streaming_crawl(
+        spark, stream, corpus_big, out_dir, ckpt, retry_dir=retry_dir
+    )
+    q2.awaitTermination(120)
+    urls2 = {
+        r["final_url"]
+        for r in spark.read.parquet(f"{out_dir}/batch=*").collect()
+    }
+    assert doc_url(35) in urls2
+    corpus_small.unpersist()
+    corpus_big.unpersist()
+
+
+def test_streaming_retry_exhaustion_dead_letters(spark, tmp_path):
+    """A url the corpus never gains cycles retry triggers and lands in
+    the dead-letter dir after max_retries — never a silent drop."""
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("txt").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    corpus = build_corpus(spark, docs, 10).persist()
+    corpus.count()
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    retry_dir = str(tmp_path / "retry")
+
+    spark.createDataFrame(
+        [("https://h0.example.com/doc/99", 0)], "url string, emit_seq long"
+    ).coalesce(1).write.parquet(str(seeds_dir / "b1"))
+    stream = stream_seed_source(spark, str(seeds_dir) + "/*")
+    for _ in range(3):  # trigger: initial + 2 retries at max_retries=2
+        q = run_streaming_crawl(
+            spark, stream, corpus, out_dir, ckpt,
+            retry_dir=retry_dir, max_retries=2,
+        )
+        q.awaitTermination(120)
+    dead = spark.read.option("recursiveFileLookup", "true").schema(
+        "url string, emit_seq long, attempt int"
+    ).parquet(retry_dir + "_dead").collect()
+    assert [(r["url"], r["attempt"]) for r in dead] == [
+        ("https://h0.example.com/doc/99", 3)
+    ]
+    corpus.unpersist()
