@@ -267,27 +267,31 @@ def _cosine_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
 
 
 def _lang_sql() -> str:
-    def occ(m: str) -> str:
-        return (
-            f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}"
-        )
-
-    score = {
-        lang: "(" + " + ".join(occ(m) for m in ms) + ")"
+    # token-set membership counts, the exact twin of textops.lang_guess
+    # (tokenize once, one list_filter per language); scores land in a
+    # CTE so each is computed once, then the argmax-with-earlier-wins
+    # fold reads the named columns
+    score_cols = ", ".join(
+        "len(list_filter(toks, x -> x IN ("
+        + ", ".join(f"'{m.strip()}'" for m in ms)
+        + f"))) AS s_{lang}"
         for lang, ms in _MARKERS.items()
-    }
-    # same strictly-greater fold as textops.lang_guess
+    )
     expr = "CASE "
     order = list(_MARKERS)
     for i, lang in enumerate(order):
-        strictly_beats = [f"{score[lang]} > {score[o]}" for o in order[:i]]
-        at_least = [f"{score[lang]} >= {score[o]}" for o in order[i + 1:]]
-        conds = [f"{score[lang]} > 0"] + strictly_beats + at_least
+        strictly_beats = [f"s_{lang} > s_{o}" for o in order[:i]]
+        at_least = [f"s_{lang} >= s_{o}" for o in order[i + 1:]]
+        conds = [f"s_{lang} > 0"] + strictly_beats + at_least
         expr += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
     expr += "ELSE 'und' END"
     return f"""
-    WITH p_ AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)
-    SELECT doc_id, {expr} AS lang_guess FROM p_
+    WITH t_ AS (
+      SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+      FROM documents
+    ),
+    s_ AS (SELECT doc_id, {score_cols} FROM t_)
+    SELECT doc_id, {expr} AS lang_guess FROM s_
     """
 
 

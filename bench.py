@@ -174,6 +174,9 @@ def run_worker(
                 dedup.minhash_lsh_pairs(docs)
             ).count()
         ),
+        "corpus_dedup": timed(
+            lambda: dedup.corpus_dedup(docs).count()
+        ),
         "text_quality": timed(
             lambda: docs.select(
                 textops.quality_score(F.col("text")).alias("q")

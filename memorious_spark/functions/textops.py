@@ -104,17 +104,27 @@ def lang_guess(text: Column) -> Column:
 
     Shape matters at 12 languages: a when/otherwise fold re-nests
     every prior score into each comparison (O(L²·markers) expression
-    nodes); this builds ONE array of (score, rank) structs and takes
-    ``array_max`` — struct ordering gives argmax with the rank field
-    breaking ties toward earlier languages, O(L·markers) nodes, each
-    occurrence count evaluated exactly once."""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    nodes), and replace-based occurrence counting re-scans the full
+    text once per marker (60 passes). Instead: tokenize ONCE, score
+    each language as the count of tokens in its marker set (one
+    array-filter per language over the short token array — identical
+    counts to the padded-substring formulation on space-separated
+    text), and take ``array_max`` over (score, rank) structs — struct
+    ordering gives argmax with the rank field breaking ties toward
+    earlier languages."""
+    toks = F.split(F.trim(F.lower(text)), " ")
     langs = list(_LANG_MARKERS)
+
+    def _in_set(words):  # closure, not a default arg: F.filter reads
+        return lambda t: t.isin(*words)  # lambda arity as (value, idx)
+
     entries = [
         F.struct(
-            sum(
-                (_occurrences(padded, m) for m in _LANG_MARKERS[lang]),
-                start=F.lit(0.0),
+            F.size(
+                F.filter(
+                    toks,
+                    _in_set(tuple(m.strip() for m in _LANG_MARKERS[lang])),
+                )
             ).alias("s"),
             F.lit(len(langs) - i).alias("r"),  # higher rank = earlier lang
         )

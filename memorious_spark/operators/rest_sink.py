@@ -37,7 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = [
-    "TransientApiError", "rest_emit", "aleph_emit_documents",
+    "TransientApiError", "rest_emit", "rest_emit_waves",
+    "aleph_emit_documents",
     "aleph_folders", "aleph_emit_entities",
 ]
 
@@ -103,6 +104,48 @@ def rest_emit(
             )
 
     return rows.mapInPandas(emit, out_schema)
+
+
+def rest_emit_waves(
+    rows: DataFrame,
+    send: Callable[[dict], dict],
+    retries: int = 3,
+    backoff_base: float = 2.0,
+    sleep: Callable[[float], None] = time.sleep,
+    key_cols: tuple[str, ...] = ("foreign_id", "content_hash"),
+) -> DataFrame:
+    """:func:`rest_emit` with the engine's no-executor-sleeps posture:
+    each WAVE emits every pending row exactly once (zero in-executor
+    retries), transiently-failed rows are re-joined into the next
+    wave, and the ``2**attempt`` backoff (aleph.py:83-102) is slept
+    ONCE on the driver between waves — executor slots stay free for
+    other work instead of blocking per-row. Outcome contract matches
+    :func:`rest_emit` (``attempts`` = waves the row participated in);
+    rows still transient after ``retries`` waves return
+    ``transient_exhausted``, exactly like the in-executor loop."""
+    keys = list(key_cols)
+    pending = rows
+    done: list[DataFrame] = []
+    wave = 0
+    while True:
+        wave += 1
+        out = rest_emit(
+            pending, send, retries=0, backoff_base=backoff_base,
+            sleep=sleep, key_cols=key_cols,
+        ).withColumn("attempts", F.lit(wave)).persist()
+        out.count()
+        settled = out.filter(F.col("status") != "transient_exhausted")
+        parked = out.filter(F.col("status") == "transient_exhausted")
+        if wave > retries or not parked.head(1):
+            done.append(out)  # final wave: leftover transients surface
+            break
+        done.append(settled)
+        pending = pending.join(parked.select(*keys), keys, "left_semi")
+        sleep(backoff_base ** wave)  # driver-side, not an executor slot
+    result = done[0]
+    for d in done[1:]:
+        result = result.unionByName(d)
+    return result
 
 
 def aleph_emit_documents(

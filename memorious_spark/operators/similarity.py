@@ -20,7 +20,7 @@ __all__ = [
     "cosine_sim", "knn_brute_force", "lsh_bucket_col", "knn_lsh",
     "query_probe_buckets", "ivf_seed_centroids", "ivf_assign_col",
     "ivf_assign_udf", "ivf_assign_join", "ivf_train", "knn_ivf",
-    "build_ann_index", "knn_lsh_serve",
+    "build_ann_index", "knn_lsh_serve", "build_ivf_index", "knn_ivf_serve",
 ]
 
 
@@ -182,6 +182,79 @@ def knn_lsh_serve(
     return (
         spark.read.parquet(index_path)
         .filter(F.col("bucket").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    spacing: int = 37,
+    n_iter: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF serve layout: assign every vector to its coarse cell and
+    write the corpus **partitioned by cell**, with the centroid table
+    as a JSON sidecar (`_centroids.json`) so serve-time probe
+    selection needs no training scan. The cell twin of
+    :func:`build_ann_index`."""
+    import json
+
+    from pyarrow import fs as pa_fs
+
+    cents = (
+        ivf_train(emb, n_centroids, n_iter, spacing, id_col, vec_col)
+        if n_iter
+        else ivf_seed_centroids(emb, n_centroids, spacing, id_col, vec_col)
+    )
+    emb.withColumn("cell", _assign_bucket_col(vec_col, cents)).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    uri = path if "://" in path else "file://" + path
+    filesystem, base = pa_fs.FileSystem.from_uri(uri)
+    with filesystem.open_output_stream(f"{base}/_centroids.json") as fh:
+        fh.write(json.dumps(cents).encode())
+
+
+def knn_ivf_serve(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a :func:`build_ivf_index` layout: the ``nprobe``
+    nearest cells (by centroid distance, from the sidecar — no scan)
+    become a PARTITION filter, exact cosine re-rank inside them."""
+    import json
+
+    from pyarrow import fs as pa_fs
+
+    uri = index_path if "://" in index_path else "file://" + index_path
+    filesystem, base = pa_fs.FileSystem.from_uri(uri)
+    with filesystem.open_input_stream(f"{base}/_centroids.json") as fh:
+        cents = json.loads(fh.read())
+    qdist = sorted(
+        (
+            sum((float(q) - float(c)) ** 2 for q, c in zip(query_vec, cv)),
+            cid,
+        )
+        for cid, cv in cents
+    )
+    probes = [cid for _d, cid in qdist[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(probes))
         .select(
             F.col(id_col),
             F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),

@@ -246,3 +246,54 @@ def test_ann_serve_scans_only_probed_partitions(spark, tmp_path):
     assert [(r["vec_id"], r["cosine"]) for r in got] == [
         (r["vec_id"], r["cosine"]) for r in flys
     ]
+
+
+def test_ivf_serve_scans_only_probed_cells(spark, tmp_path):
+    """IVF twin of the LSH serve test: corpus partitioned by coarse
+    cell + centroid sidecar; the nprobe cells become a partition
+    filter (corrupting a non-probed cell after plan creation leaves
+    the query unharmed) and probing ALL cells is exact."""
+    import math
+
+    from memorious_spark.operators import similarity
+
+    rows = [
+        (i, [math.sin(0.3 * i + d) + 0.01 * ((i + d) % 7) for d in range(4)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(emb, idx, n_centroids=4, spacing=3)
+    q = rows[7][1]
+
+    served = similarity.knn_ivf_serve(spark, idx, q, k=5, nprobe=1)
+    plan = _plan(served)
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "cell" in m[0], plan[:3000]
+    all_cells = {
+        int(d.name.split("=")[1])
+        for d in (tmp_path / "ivf_index").iterdir()
+        if d.name.startswith("cell=")
+    }
+    # corrupt a cell the nprobe=1 probe does not touch
+    import json
+
+    cents = json.loads((tmp_path / "ivf_index" / "_centroids.json").read_text())
+    qd = sorted(
+        (sum((a - b) ** 2 for a, b in zip(q, cv)), cid) for cid, cv in cents
+    )
+    probed = {qd[0][1]}
+    victim = sorted(all_cells - probed)[0]
+    for part in (tmp_path / "ivf_index" / f"cell={victim}").glob("*.parquet"):
+        part.write_bytes(b"garbage")
+    got = served.collect()
+    assert 7 in [r["vec_id"] for r in got]
+
+    # full-probe == brute force on an uncorrupted index
+    idx2 = str(tmp_path / "ivf_index2")
+    similarity.build_ivf_index(emb, idx2, n_centroids=4, spacing=3)
+    full = similarity.knn_ivf_serve(spark, idx2, q, k=5, nprobe=4).collect()
+    brute = similarity.knn_brute_force(emb, q, k=5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in full] == [
+        (r["vec_id"], r["cosine"]) for r in brute
+    ]

@@ -174,3 +174,51 @@ def test_aleph_emit_entities_keyed_by_entity_id(spark, tmp_path):
     }
     assert out2["e1"]["status"] == "skipped_cached"
     assert out2["e1"]["remote_id"] == out1["e1"]["remote_id"]
+
+
+def test_rest_emit_waves_backoff_on_driver(spark):
+    """The no-executor-sleeps variant: transient rows re-emit in later
+    WAVES with the backoff slept once per wave on the DRIVER; outcome
+    contract (statuses, attempt counts, exhaustion) matches
+    rest_emit's in-executor loop."""
+    import shutil
+
+    from memorious_spark.operators.rest_sink import rest_emit_waves
+
+    api = "/tmp/fake_aleph_api_waves"
+    shutil.rmtree(api, ignore_errors=True)
+    rows = spark.createDataFrame(
+        [("ok1", "h1"), ("flaky1", "h2"), ("bad1", "h3")],
+        "foreign_id string, content_hash string",
+    )
+    driver_sleeps = []
+    out = {
+        r["foreign_id"]: r
+        for r in rest_emit_waves(
+            rows, _make_fake_send(api), retries=3,
+            sleep=driver_sleeps.append,
+        ).collect()
+    }
+    assert out["ok1"]["status"] == "uploaded" and out["ok1"]["attempts"] == 1
+    assert out["flaky1"]["status"] == "uploaded"
+    assert out["flaky1"]["attempts"] == 2  # succeeded in wave 2
+    assert out["bad1"]["status"] == "error" and out["bad1"]["attempts"] == 1
+    # exactly one driver-side backoff (before wave 2), 2.0**1 seconds
+    assert driver_sleeps == [2.0]
+
+    # exhaustion parity: an always-transient id surfaces after
+    # retries+1 waves with transient_exhausted
+    def always_transient(rec):
+        from memorious_spark.operators.rest_sink import TransientApiError
+
+        raise TransientApiError("down")
+
+    sleeps2 = []
+    out2 = rest_emit_waves(
+        spark.createDataFrame([("t1", "h")], "foreign_id string, content_hash string"),
+        always_transient, retries=2, sleep=sleeps2.append,
+    ).collect()
+    assert [(r["status"], r["attempts"]) for r in out2] == [
+        ("transient_exhausted", 3)
+    ]
+    assert sleeps2 == [2.0, 4.0]
