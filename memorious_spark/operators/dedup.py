@@ -105,6 +105,7 @@ def dedup_components(
     )
     prev = (None, None, None)
     iters = 0
+    converged = False
     for _ in range(max_iter):
         iters += 1
         # LARGE-STAR: over symmetric neighborhoods, connect every
@@ -148,8 +149,17 @@ def dedup_components(
         got = obs.get
         cur = (got["n"], got["lsum"], got["fp"])
         if cur == prev or cur[0] == 0:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # at a non-fixpoint a node can still point at several targets —
+        # emitting labels from it would silently duplicate/mislabel
+        raise RuntimeError(
+            f"dedup_components: no fixpoint after {iters} star rounds "
+            f"(O(log n) expected — raise max_iter only if the graph "
+            f"really has >2^{max_iter // 2} nodes)"
+        )
     if stats is not None:
         stats["iterations"] = iters
     # at the star-forest fixpoint every edge is (member → root); roots

@@ -19,8 +19,10 @@ TABLES = (
 
 
 def norm_cell(v):
-    if isinstance(v, float):
-        return f"{v:.6f}"
+    import decimal
+
+    if isinstance(v, (float, decimal.Decimal)):
+        return f"{float(v):.6f}"
     if isinstance(v, bytes):
         return v.hex()
     if hasattr(v, "isoformat"):
