@@ -51,6 +51,7 @@ def dedup_components(
     id_b: str = "id_b",
     max_iter: int = 50,
     stats: dict | None = None,
+    label_rounds: int = 4,
 ) -> DataFrame:
     """Connected components over dup-pair edges → ``(id, component)``
     with ``component`` = the smallest id in the cluster (the canonical
@@ -59,45 +60,143 @@ def dedup_components(
 
     Pair generators (minhash/simhash/embedding LSH) emit EDGES; near-
     duplication is transitive only through its clusters, so this is
-    the standard second half of corpus dedup. Implementation is the
-    alternating **large-star / small-star** algorithm (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14 — the same
-    formulation GraphFrames ships): each half-round is one window
-    aggregation over the node's neighborhood (a single shuffle on the
-    node id, map-side combined) that re-points edges at the
-    neighborhood minimum, converging in **O(log n) rounds even on
-    chain-shaped graphs** — not O(component diameter) like plain
-    min-label propagation.
+    the standard second half of corpus dedup. HYBRID implementation,
+    measured both ways at sf0.1:
 
-    Convergence detection costs ZERO extra jobs: edge count, label
-    sum, and an xxhash64 edge-set fingerprint ride the per-iteration
-    materializing action as ``Observation`` metrics; the loop stops
-    when all three are stable across a full round (the label sum is
-    monotonically non-increasing — GraphFrames' own convergence
-    metric — with the 64-bit fingerprint as a belt-and-braces check
-    against a count+sum coincidence).
+    - Phase 1 — **min-label propagation** for up to ``label_rounds``
+      rounds: one edges⋈labels shuffle join + one map-side-combined
+      min aggregate per round, convergence riding the materializing
+      action as an Observation (NO separate count job). Near-dup
+      clusters are shallow (diameter ≲ 4), so this phase almost always
+      finishes — at roughly half the per-round cost of a star round.
+    - Phase 2 — only if phase 1 did not converge (chain-shaped
+      graphs): CONTRACT the graph by the current labels (each
+      label-class becomes one node — clusters already collapsed in
+      phase 1 vanish) and run the alternating **large-star/small-star**
+      algorithm (Kiveris et al., SoCC'14; the GraphFrames formulation)
+      on the contracted edges — O(log n) rounds on any shape. Final
+      labels compose: component(v) = star_component(label(v)).
 
-    ``stats`` (optional dict) receives ``{"iterations": k}`` so tests
-    can assert the logarithmic bound.
+    Both phases ``localCheckpoint`` per round: the iteration's unions/
+    joins reference the previous round several times, so without
+    lineage TRUNCATION the logical plan grows geometrically and the
+    driver dies building plan strings long before the data is big. A
+    512-node path graph converges in ≤ 3·log2(n)+5 total rounds
+    (pytest-asserted); ``stats`` (optional dict) receives
+    ``{"iterations": k}``.
+    """
+    from pyspark.sql import Observation
+
+    # materialize the CANONICAL edges first, symmetrize from the
+    # checkpoint: a union of pairs ∪ swap(pairs) before materializing
+    # would execute the caller's pair-generation chain (minhash band
+    # join etc.) TWICE inside one job — measured as the whole
+    # difference between 13s and 8s at sf0.1
+    e0 = (
+        pairs.select(
+            F.least(
+                F.col(id_a).cast("long"), F.col(id_b).cast("long")
+            ).alias("src"),
+            F.greatest(
+                F.col(id_a).cast("long"), F.col(id_b).cast("long")
+            ).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e0.unionByName(
+        e0.filter(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    iters = 0
+    converged = False
+    for _ in range(min(label_rounds, max_iter)):
+        iters += 1
+        prop = sym.join(labels, sym["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label",
+            F.lit(None).cast("long").alias("_old"),
+        )
+        obs = Observation()
+        new_labels = (
+            labels.select("id", "label", F.col("label").alias("_old"))
+            .unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"), F.min("_old").alias("_old"))
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") != F.col("_old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .select("id", "label")
+            .localCheckpoint(eager=True)  # metrics ride this action
+        )
+        labels.unpersist()
+        labels = new_labels
+        if int(obs.get["changed"] or 0) == 0:
+            converged = True
+            break
+    if not converged:
+        # contract by current labels (collapses everything phase 1
+        # already solved), then the O(log n) star algorithm finishes
+        la, lb = labels.alias("la"), labels.alias("lb")
+        contracted = (
+            sym.join(la, sym["src"] == F.col("la.id"))
+            .join(lb, sym["dst"] == F.col("lb.id"))
+            .select(
+                F.col("la.label").alias("id_a"),
+                F.col("lb.label").alias("id_b"),
+            )
+        )
+        star, star_iters = _star_components(
+            contracted, max_iter=max_iter - iters
+        )
+        iters += star_iters
+        out = (
+            labels.join(star, labels["label"] == star["sid"], "left")
+            .select(
+                "id", F.coalesce("scomp", "label").alias("component")
+            )
+        )
+    else:
+        out = labels.select("id", F.col("label").alias("component"))
+    if stats is not None:
+        stats["iterations"] = iters
+    return out
+
+
+def _star_components(
+    pairs: DataFrame, max_iter: int = 50
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components over an
+    (id_a, id_b) edge DF → ((sid, scomp) labels, rounds used).
+
+    Each half-round is one window aggregation over the node's
+    neighborhood (a single hash-shuffle on the node id, map-side
+    combined) re-pointing edges at the neighborhood minimum —
+    **O(log n) rounds even on chain-shaped graphs**. Convergence
+    detection costs ZERO extra jobs: edge count, label sum, and an
+    xxhash64 edge-set fingerprint ride the per-round materializing
+    action as Observation metrics (decimal sum + ``bit_xor`` because
+    ANSI mode would overflow ``sum(long)`` at 10^10 edges); the loop
+    stops when all three are stable across a full round — the label
+    sum is monotonically non-increasing (GraphFrames' own convergence
+    metric), the 64-bit fingerprint is the belt-and-braces check.
     """
     from pyspark.sql import Observation, Window
 
-    # canonical directed edges: larger id → smaller id, no self-loops.
-    # localCheckpoint (not just persist) per round: the star unions
-    # reference the previous edge set several times, so without
-    # lineage TRUNCATION the logical plan grows ~4^rounds and the
-    # driver dies building plan strings long before the data is big.
-    # (GraphFrames' connectedComponents checkpoints on the same
-    # schedule; on a cluster with a reliable checkpoint dir,
-    # df.checkpoint() drops in for executor-loss resilience.)
+    # canonical directed edges: larger id → smaller id, no self-loops
     e = (
         pairs.select(
-            F.greatest(
-                F.col(id_a).cast("long"), F.col(id_b).cast("long")
-            ).alias("src"),
-            F.least(
-                F.col(id_a).cast("long"), F.col(id_b).cast("long")
-            ).alias("dst"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("src"),
+            F.least(F.col("id_a"), F.col("id_b")).alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
@@ -136,8 +235,6 @@ def dedup_components(
             .distinct()
         )
         obs = Observation()
-        # decimal sum + bit_xor fingerprint: neither can overflow under
-        # ANSI mode at 10^10-edge scale (sum(long) would)
         new_e = new_e.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
@@ -156,25 +253,23 @@ def dedup_components(
         # at a non-fixpoint a node can still point at several targets —
         # emitting labels from it would silently duplicate/mislabel
         raise RuntimeError(
-            f"dedup_components: no fixpoint after {iters} star rounds "
+            f"_star_components: no fixpoint after {iters} star rounds "
             f"(O(log n) expected — raise max_iter only if the graph "
             f"really has >2^{max_iter // 2} nodes)"
         )
-    if stats is not None:
-        stats["iterations"] = iters
     # at the star-forest fixpoint every edge is (member → root); roots
     # and isolated input nodes label themselves
     nodes = (
-        pairs.select(F.col(id_a).cast("long").alias("id"))
-        .unionByName(pairs.select(F.col(id_b).cast("long").alias("id")))
+        pairs.select(F.col("id_a").alias("sid"))
+        .unionByName(pairs.select(F.col("id_b").alias("sid")))
         .distinct()
     )
     out = nodes.join(
-        e.select(F.col("src").alias("id"), F.col("dst").alias("_c")),
-        "id",
+        e.select(F.col("src").alias("sid"), F.col("dst").alias("_c")),
+        "sid",
         "left",
-    ).select("id", F.coalesce("_c", "id").alias("component"))
-    return out
+    ).select("sid", F.coalesce("_c", "sid").alias("scomp"))
+    return out, iters
 
 
 def corpus_dedup(

@@ -153,13 +153,6 @@ def merge_upsert(
     return refreshed.unionByName(inserts)
 
 
-def _append_only(existing: DataFrame | None, batch: DataFrame, now: str) -> DataFrame:
-    """No unique keys → the reference always inserts (db.py:16-22)."""
-    ts = F.to_timestamp(F.lit(now))
-    stamped = batch.withColumn("__first_seen", ts).withColumn("__last_seen", ts)
-    return stamped if existing is None else existing.unionByName(stamped)
-
-
 def db_sink_run(
     spark: SparkSession,
     store,
