@@ -231,7 +231,7 @@ class RunStore:
     def _read_resolved(
         self, spark: SparkSession, table: str
     ) -> DataFrame | None:
-        from pyspark.sql import Window, functions as F
+        from pyspark.sql import functions as F
 
         p = self.shared_path(table)
         self._recover_compaction(p)
@@ -244,18 +244,25 @@ class RunStore:
         keys = json.loads(self._upsert_meta_path(table).read_text())["keys"]
         if not keys:
             return raw.drop("__v")  # append-only: the union IS the table
-        w = Window.partitionBy(*keys).orderBy(F.col("__v").desc())
-        latest = (
-            raw.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "__first_seen")
+        # ONE scan, ONE keys-shuffle, no join: per key, max_by(__v)
+        # carries the latest version's data columns (+ __last_seen) and
+        # min(__first_seen) rides the same aggregate — (key, __v) is
+        # unique by construction (each delta dropDuplicates its keys),
+        # so max_by is deterministic. A window+groupBy+join formulation
+        # measured TWO full delta scans and exchanges.
+        data_cols = [
+            c for c in raw.columns
+            if c not in set(keys) | {"__first_seen", "__v"}
+        ]
+        agg = raw.groupBy(*keys).agg(
+            F.max_by(F.struct(*data_cols), F.col("__v")).alias("_r"),
+            F.min("__first_seen").alias("__first_seen"),
         )
-        firsts = raw.groupBy(*keys).agg(
-            F.min("__first_seen").alias("__first_seen")
+        return agg.select(
+            *keys,
+            *[F.col(f"_r.{c}").alias(c) for c in data_cols],
+            "__first_seen",
         )
-        # window + groupBy share the keys partitioning (one shuffle,
-        # exchange reused), then a co-partitioned join
-        return latest.join(firsts, keys).drop("__v")
 
     def compact_shared(self, spark: SparkSession, table: str) -> None:
         """Minor compaction: fold every delta into one base dir whose
