@@ -297,3 +297,33 @@ def test_ivf_serve_scans_only_probed_cells(spark, tmp_path):
     assert [(r["vec_id"], r["cosine"]) for r in full] == [
         (r["vec_id"], r["cosine"]) for r in brute
     ]
+
+
+def test_delta_resolution_single_scan_single_shuffle(spark, tmp_path):
+    """The upsert-shared read path must stay ONE delta scan + ONE
+    keys-exchange (max_by aggregate) — the window+join formulation
+    regressed to two full scans and two exchanges."""
+    import re
+
+    from memorious_spark.plans.storage import RunStore
+
+    store = RunStore(tmp_path, "plans", "r1")
+    store.upsert_shared(
+        spark,
+        "db_t",
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        ["k"],
+        "2024-01-01 00:00:00",
+    )
+    store.upsert_shared(
+        spark,
+        "db_t",
+        spark.createDataFrame([(2, "B")], "k int, v string"),
+        ["k"],
+        "2024-02-01 00:00:00",
+    )
+    df = store.read_shared(spark, "db_t")
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:3000]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
