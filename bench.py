@@ -149,6 +149,12 @@ def run_worker(
         # JIT/codegen warmup — not timed
         dedup.exact_dedup(docs).count()
 
+    # convergence observability: rounds used by the hybrid components
+    # pass ride the bench JSON next to the wall time (a regression to
+    # diameter-bound behavior shows up as an iteration jump, not just
+    # a slow number that could be hw noise)
+    comp_stats: dict = {}
+    cdedup_stats: dict = {}
     queries = {} if skip_queries else {
         "exact_dedup": timed(lambda: dedup.exact_dedup(docs).count()),
         "minhash_lsh_dedup": timed(
@@ -171,11 +177,11 @@ def run_worker(
         ),
         "dedup_components": timed(
             lambda: dedup.dedup_components(
-                dedup.minhash_lsh_pairs(docs)
+                dedup.minhash_lsh_pairs(docs), stats=comp_stats
             ).count()
         ),
         "corpus_dedup": timed(
-            lambda: dedup.corpus_dedup(docs).count()
+            lambda: dedup.corpus_dedup(docs, stats=cdedup_stats).count()
         ),
         "text_quality": timed(
             lambda: docs.select(
@@ -246,6 +252,10 @@ def run_worker(
         "crawl_urls_per_sec": round(crawl_thr, 1),
         "queries": queries,
     }
+    if comp_stats:
+        out["dedup_components_iters"] = comp_stats.get("iterations")
+    if cdedup_stats:
+        out["corpus_dedup_iters"] = cdedup_stats.get("iterations")
     spark.stop()
     return out
 
@@ -354,6 +364,10 @@ def main() -> None:
         "sf": _sf_label(SF_DIR),
         "n_pages": hi["n_pages"],
         "scaling": scaling,
+        "components_iters": {
+            "dedup_components": hi.get("dedup_components_iters"),
+            "corpus_dedup": hi.get("corpus_dedup_iters"),
+        },
     }))
 
 

@@ -76,6 +76,113 @@ _I18N_RE = re.compile(
 )
 
 
+# ---- relative dates (dateparser's other big family) -----------------
+# "3 days ago" / "vor 3 Tagen" / "il y a 3 jours" / "hace 3 días",
+# plus yesterday/today/tomorrow in the same four languages. dateparser
+# resolves these against datetime.now() per call — nondeterministic
+# and executor-local; here the base is INJECTED (``now``), pinned once
+# on the driver so a whole distributed run resolves "yesterday" to the
+# same instant on every executor (and the DuckDB oracle, which imports
+# this very kernel, agrees byte-for-byte).
+
+_REL_UNITS = {
+    # en
+    "second": "seconds", "seconds": "seconds", "minute": "minutes",
+    "minutes": "minutes", "hour": "hours", "hours": "hours",
+    "day": "days", "days": "days", "week": "weeks", "weeks": "weeks",
+    "month": "months", "months": "months", "year": "years",
+    "years": "years",
+    # de (vor 3 Tagen / vor einer Stunde)
+    "sekunde": "seconds", "sekunden": "seconds", "minuten": "minutes",
+    "stunde": "hours", "stunden": "hours", "tag": "days",
+    "tagen": "days", "woche": "weeks", "wochen": "weeks",
+    "monat": "months", "monaten": "months", "jahr": "years",
+    "jahren": "years",
+    # fr (il y a 3 jours)
+    "seconde": "seconds", "secondes": "seconds",
+    "heure": "hours", "heures": "hours", "jour": "days",
+    "jours": "days", "semaine": "weeks", "semaines": "weeks",
+    "mois": "months", "an": "years", "ans": "years",
+    "année": "years", "années": "years", "annee": "years",
+    "annees": "years",
+    # es (hace 3 días)
+    "segundo": "seconds", "segundos": "seconds", "minuto": "minutes",
+    "minutos": "minutes", "hora": "hours", "horas": "hours",
+    "día": "days", "días": "days", "dia": "days", "dias": "days",
+    "semana": "weeks", "semanas": "weeks", "mes": "months",
+    "meses": "months", "año": "years", "años": "years",
+    "ano": "years", "anos": "years",
+}
+# fr/es share "minute(s)" spellings with en; de "minuten" added above.
+_REL_UNITS.setdefault("minute", "minutes")
+
+_WORD_NUMS = {
+    "a": 1, "an": 1, "one": 1, "ein": 1, "eine": 1, "einer": 1,
+    "einem": 1, "un": 1, "une": 1, "uno": 1, "una": 1,
+}
+
+_UNIT_ALT = "|".join(sorted(_REL_UNITS, key=len, reverse=True))
+_REL_RES = [
+    # en: "3 days ago"
+    re.compile(rf"\b(\d+|\w+)\s+({_UNIT_ALT})\s+ago\b", re.IGNORECASE),
+    # de: "vor 3 Tagen"
+    re.compile(rf"\bvor\s+(\d+|\w+)\s+({_UNIT_ALT})\b", re.IGNORECASE),
+    # fr: "il y a 3 jours"
+    re.compile(rf"\bil\s+y\s+a\s+(\d+|\w+)\s+({_UNIT_ALT})\b", re.IGNORECASE),
+    # es: "hace 3 días"
+    re.compile(rf"\bhace\s+(\d+|\w+)\s+({_UNIT_ALT})\b", re.IGNORECASE),
+]
+
+_DAY_WORDS = {
+    # en / de / fr / es → day offset; midnight of that day, the way
+    # dateparser renders bare day words with PREFER_DATES_FROM default
+    "yesterday": -1, "today": 0, "tomorrow": 1,
+    "gestern": -1, "heute": 0, "morgen": 1,
+    "hier": -1, "aujourd'hui": 0, "demain": 1,
+    "ayer": -1, "hoy": 0, "mañana": 1, "manana": 1,
+}
+_DAY_WORDS_RE = re.compile(
+    r"(?<![\w'])(" + "|".join(re.escape(w) for w in _DAY_WORDS) + r")(?![\w'])",
+    re.IGNORECASE,
+)
+
+
+def _shift_months(base: datetime, months: int) -> datetime:
+    """Calendar-month subtraction with end-of-month clamping (what
+    dateparser's relativedelta does for "3 months ago")."""
+    import calendar
+
+    total = base.year * 12 + (base.month - 1) - months
+    y, m = divmod(total, 12)
+    m += 1
+    day = min(base.day, calendar.monthrange(y, m)[1])
+    return base.replace(year=y, month=m, day=day)
+
+
+def _try_relative(cleaned: str, now: datetime) -> datetime | None:
+    from datetime import timedelta
+
+    for rx in _REL_RES:
+        m = rx.search(cleaned)
+        if m is None:
+            continue
+        qty_raw = m.group(1).lower()
+        qty = int(qty_raw) if qty_raw.isdigit() else _WORD_NUMS.get(qty_raw)
+        unit = _REL_UNITS.get(m.group(2).lower())
+        if qty is None or unit is None:
+            continue
+        if unit == "months":
+            return _shift_months(now, qty)
+        if unit == "years":
+            return _shift_months(now, 12 * qty)
+        return now - timedelta(**{unit: qty})
+    m = _DAY_WORDS_RE.search(cleaned)
+    if m is not None:
+        base = now.replace(hour=0, minute=0, second=0, microsecond=0)
+        return base + timedelta(days=_DAY_WORDS[m.group(1).lower()])
+    return None
+
+
 def _naive(dt: datetime | None) -> datetime | None:
     """tz-aware → naive UTC (helpers/dates.py:25-31)."""
     if dt is None:
@@ -94,7 +201,18 @@ def _try_formats(text: str) -> datetime | None:
     return None
 
 
-def py_parse_date(text: str | None, format_hint: str | None = None):
+def py_parse_date(
+    text: str | None,
+    format_hint: str | None = None,
+    now: datetime | None = None,
+):
+    """``now`` enables the relative-date family ("3 days ago",
+    "vor 3 Tagen", "il y a 3 jours", "hace 3 días", yesterday/today/
+    tomorrow in en/de/fr/es) against a deterministic base. Left None,
+    relative shapes stay unparsed — a distributed engine must NOT call
+    ``datetime.now()`` per executor the way dateparser does (two
+    executors would disagree about "yesterday"); the driver pins one
+    base per run and ships it in the UDF closure."""
     if text is None:
         return None
     if format_hint is not None:
@@ -129,22 +247,35 @@ def py_parse_date(text: str | None, format_hint: str | None = None):
                 break
             except ValueError:
                 continue
+    if parsed is None and now is not None:
+        parsed = _try_relative(cleaned, now)
     return _naive(parsed)
 
 
-def py_iso_date(text: str | None, format_hint: str | None = None) -> str | None:
+def py_iso_date(
+    text: str | None,
+    format_hint: str | None = None,
+    now: datetime | None = None,
+) -> str | None:
     """isoformat of the parsed date, None when unparseable
     (helpers/dates.py:19-23)."""
-    parsed = py_parse_date(text, format_hint)
+    parsed = py_parse_date(text, format_hint, now=now)
     return parsed.isoformat() if parsed is not None else None
 
 
-def iso_date_udf():
-    """Arrow-batched column form of :func:`py_iso_date`."""
+def iso_date_udf(now: datetime | str | None = None):
+    """Arrow-batched column form of :func:`py_iso_date`.
+
+    ``now`` (datetime or ISO string) is resolved ON THE DRIVER and
+    shipped in the closure: every executor — and every retry of a lost
+    task — resolves "yesterday" against the same base."""
     from pyspark.sql import functions as F
+
+    if isinstance(now, str):
+        now = datetime.fromisoformat(now)
 
     @F.pandas_udf("string")
     def _iso(s: pd.Series) -> pd.Series:  # pragma: no cover (executor)
-        return s.map(py_iso_date)
+        return s.map(lambda t: py_iso_date(t, now=now))
 
     return _iso

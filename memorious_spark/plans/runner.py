@@ -260,6 +260,10 @@ class CrawlRunner:
             self.robots = robots_table(corpus).persist()
 
         if resume and (m := store.read_manifest()) is not None:
+            # a resume follows a crash: sweep shared-table compaction
+            # leftovers ONCE here — per-op recovery only covers tables
+            # this run touches again (storage.vacuum_shared docstring)
+            store.vacuum_shared()
             start_round = m["last_complete_round"] + 1
             last = next(
                 r for r in m["rounds"] if r["round"] == m["last_complete_round"]

@@ -218,15 +218,48 @@ class RunStore:
 
     @staticmethod
     def _recover_compaction(p: Path) -> None:
-        """Crash recovery: a finished ``__new`` dir with no live delta
-        dirs means the crash hit between the old-delta removal and the
-        final rename — finish the rename."""
+        """Crash recovery for the compaction window, decided by the
+        ``__new`` dir's ``_SUCCESS`` marker (Spark's job-commit flag):
+
+        - marker PRESENT → the resolved write finished; the crash hit
+          somewhere in remove-old → rename. FINISH the compaction:
+          drop every older delta it folded, then rename. (Acting only
+          when zero live deltas remain — the previous rule — was
+          wrong: a crash midway through the remove-old loop leaves a
+          complete ``__new`` ignored while readers see only a SUFFIX
+          of the old deltas — keys whose rows lived in the removed
+          prefix silently vanish.)
+        - marker ABSENT → the write died mid-job; the source deltas
+          are all still live. Drop the partial dir.
+
+        Runs before every shared-table read/write (and via
+        :meth:`vacuum_shared`), so stale ``__new`` dirs can't
+        accumulate. Single-writer per crawler, as documented."""
         if not p.is_dir():
             return
-        pend = list(p.glob("delta=*__new"))
-        if pend and not RunStore._delta_versions(p):
-            tgt = p / pend[0].name.replace("__new", "")
-            pend[0].rename(tgt)
+        for pend in sorted(p.glob("delta=*__new")):
+            v_new = int(pend.name.split("=")[1].split("__")[0])
+            if (pend / "_SUCCESS").exists():
+                for v in RunStore._delta_versions(p):
+                    if v < v_new:
+                        shutil.rmtree(p / f"delta={v}", ignore_errors=True)
+                pend.rename(p / f"delta={v_new}")
+            else:
+                shutil.rmtree(pend, ignore_errors=True)
+
+    def vacuum_shared(self) -> None:
+        """Sweep every shared table's compaction leftovers (crashed
+        ``delta=*__new`` dirs): completed writes are rolled FORWARD,
+        partial writes dropped. The per-op recovery already handles
+        the table being touched; this covers tables a resumed run
+        never writes again. The Iceberg analogue is snapshot expiry +
+        orphan-file removal."""
+        shared_root = self.dir.parent / "_shared"
+        if not shared_root.is_dir():
+            return
+        for tdir in shared_root.iterdir():
+            if tdir.is_dir():
+                self._recover_compaction(tdir)
 
     def _read_resolved(
         self, spark: SparkSession, table: str
@@ -284,22 +317,6 @@ class RunStore:
         for v in versions:
             shutil.rmtree(p / f"delta={v}", ignore_errors=True)
         tmp.rename(p / f"delta={v_new}")
-
-    def replace_shared(self, table: str, df: DataFrame) -> None:
-        """Version-swap rewrite of a shared table (``df`` may read the
-        table's current contents — e.g. a MERGE result): materialize
-        into ``<table>__new`` first, then swap directories. The Iceberg
-        analogue is a MERGE INTO snapshot commit."""
-        target = self.shared_path(table)
-        target.parent.mkdir(parents=True, exist_ok=True)
-        tmp = target.with_name(table + "__new")
-        df.write.mode("overwrite").parquet(str(tmp))
-        old = target.with_name(table + "__old")
-        shutil.rmtree(old, ignore_errors=True)
-        if target.exists():
-            target.rename(old)
-        tmp.rename(target)
-        shutil.rmtree(old, ignore_errors=True)
 
     def flush_crawler(self) -> None:
         """The reference's ``crawler.flush()`` (memorious/logic/

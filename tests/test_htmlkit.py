@@ -167,6 +167,47 @@ def test_fuzzy_dates_i18n():
     assert py_iso_date("no date here") is None
 
 
+def test_relative_dates():
+    """Relative shapes (dateparser's other family) resolve against an
+    INJECTED base — deterministic across executors/retries, unlike
+    dateparser's per-call datetime.now() (helpers/dates.py:6-16)."""
+    from datetime import datetime
+
+    from memorious_spark.functions.dates import py_iso_date, py_parse_date
+
+    now = datetime(2024, 3, 15, 12, 30, 45)
+    assert py_parse_date("3 days ago", now=now) == datetime(2024, 3, 12, 12, 30, 45)
+    assert py_parse_date("posted 2 weeks ago by admin", now=now) == datetime(
+        2024, 3, 1, 12, 30, 45
+    )
+    assert py_parse_date("an hour ago", now=now) == datetime(2024, 3, 15, 11, 30, 45)
+    # calendar months, not 30-day approximations
+    assert py_parse_date("3 months ago", now=now) == datetime(2023, 12, 15, 12, 30, 45)
+    # end-of-month clamp (May 31 − 3 months → leap-year Feb 29)
+    assert py_parse_date("3 months ago", now=datetime(2024, 5, 31)) == datetime(
+        2024, 2, 29
+    )
+    # de / fr / es
+    assert py_parse_date("vor 3 Tagen", now=now) == datetime(2024, 3, 12, 12, 30, 45)
+    assert py_parse_date("vor einer Stunde", now=now) == datetime(
+        2024, 3, 15, 11, 30, 45
+    )
+    assert py_parse_date("il y a 2 mois", now=now) == datetime(2024, 1, 15, 12, 30, 45)
+    assert py_parse_date("hace un año", now=now) == datetime(2023, 3, 15, 12, 30, 45)
+    # bare day words → midnight of that day, all four languages
+    assert py_parse_date("yesterday", now=now) == datetime(2024, 3, 14)
+    assert py_parse_date("heute", now=now) == datetime(2024, 3, 15)
+    assert py_parse_date("demain", now=now) == datetime(2024, 3, 16)
+    assert py_parse_date("publié hier à Paris", now=now) == datetime(2024, 3, 14)
+    # absolute dates in the same string win over relative noise
+    assert py_iso_date("updated 2023-06-07, 3 days ago", now=now) == (
+        "2023-06-07T00:00:00"
+    )
+    # without a base, relative shapes stay unparsed (no hidden now())
+    assert py_parse_date("3 days ago") is None
+    assert py_parse_date("2024-01-02") == datetime(2024, 1, 2)
+
+
 def test_view_form_fields():
     """ViewForm field harvest (memorious/helpers/asp.py:1-19): named
     inputs → {name: value}, '' default, data overrides pre-seed."""

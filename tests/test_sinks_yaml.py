@@ -285,3 +285,71 @@ def test_upsert_shared_delta_and_compaction(spark, tmp_path):
         )
     n_dirs = len(list((store.shared_path("db_t")).glob("delta=*")))
     assert n_dirs <= 5, n_dirs
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """The two compaction crash windows, decided by the ``_SUCCESS``
+    job-commit marker: a partial ``__new`` (no marker) is dropped and
+    the live deltas stay authoritative; a COMPLETE ``__new`` with the
+    old deltas only partially removed is rolled FORWARD — the old rule
+    (act only at zero live deltas) would have silently lost every key
+    whose rows lived in the already-removed delta prefix."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from memorious_spark.plans.storage import RunStore
+
+    store = RunStore(tmp_path, "lsm", "r1")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b2 = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    b3 = spark.createDataFrame([(1, "A2")], "k int, v string")
+    store.upsert_shared(spark, "db_t", b1, ["k"], "2024-01-01 00:00:00")
+    store.upsert_shared(spark, "db_t", b2, ["k"], "2024-02-01 00:00:00")
+    store.upsert_shared(spark, "db_t", b3, ["k"], "2024-03-01 00:00:00")
+    p = store.shared_path("db_t")
+    want = sorted(
+        (r["k"], r["v"]) for r in store.read_shared(spark, "db_t").collect()
+    )
+    assert want == [(1, "A2"), (2, "B"), (3, "c")]
+
+    # -- crash DURING the resolved write: partial __new, no _SUCCESS --
+    junk = p / "delta=3__new"
+    junk.mkdir()
+    (junk / "part-00000.parquet").write_bytes(b"not parquet")
+    got = sorted(
+        (r["k"], r["v"]) for r in store.read_shared(spark, "db_t").collect()
+    )
+    assert got == want
+    assert not junk.exists()  # partial dir swept
+    assert [d.name for d in sorted(p.glob("delta=*"))] == [
+        "delta=0", "delta=1", "delta=2",
+    ]
+
+    # -- crash DURING remove-old: complete __new + suffix of old ------
+    resolved = store._read_resolved(spark, "db_t").withColumn(
+        "__v", F.lit(3)
+    )
+    resolved.write.mode("overwrite").parquet(str(p / "delta=3__new"))
+    assert (p / "delta=3__new" / "_SUCCESS").exists()  # marker premise
+    shutil.rmtree(p / "delta=0")  # the prefix the crash already removed
+    got = sorted(
+        (r["k"], r["v"]) for r in store.read_shared(spark, "db_t").collect()
+    )
+    assert got == want  # key 1 lived in delta=0 — rolled forward, not lost
+    assert [d.name for d in sorted(p.glob("delta=*"))] == ["delta=3"]
+
+    # vacuum_shared sweeps tables a resumed run never touches
+    q = store.shared_path("db_q")
+    store.upsert_shared(
+        spark, "db_q",
+        spark.createDataFrame([(1, "z")], "k int, v string"),
+        ["k"], "2024-01-01 00:00:00",
+    )
+    junk2 = q / "delta=9__new"
+    junk2.mkdir()
+    store.vacuum_shared()
+    assert not junk2.exists()
+    assert sorted(
+        (r["k"], r["v"]) for r in store.read_shared(spark, "db_q").collect()
+    ) == [(1, "z")]
