@@ -987,6 +987,52 @@ pipeline:
         members = extract_stage(zips, "payload")
         return members.select("doc_id", "file_name", "n_bytes")
 
+    # -- quality filtering (Gopher / C4 — the published curation rules) --
+    def gopher_quality(spark, sf_dir):
+        """Gopher word-rule metrics + the full keep conjunction (Rae
+        et al. 2021 §A1.1) — all pure-Column, one corpus scan."""
+        from memorious_spark.functions import quality as Q
+
+        docs = _docs(spark, sf_dir)
+        wm = Q.word_metrics(F.col("text"))
+        return docs.select(
+            "doc_id",
+            *[v.alias(k) for k, v in wm.items()],
+            Q.gopher_keep(F.col("text"), min_words=10).alias("keep"),
+        )
+
+    def c4_line_filter(spark, sf_dir):
+        """C4 line cleaning (Raffel et al. 2020 §2.2) over a
+        deterministic multi-line synthesis (the corpus text is
+        single-line): unpunctuated header and short/banned lines must
+        drop, the punctuated body line survives; Gopher line metrics
+        ride the same pass."""
+        from memorious_spark.functions import quality as Q
+
+        docs = _docs(spark, sf_dir)
+        mtext = F.concat_ws(
+            "\n",
+            F.lit("All about the corpus"),
+            F.concat(F.col("text"), F.lit(".")),
+            F.substring(F.col("text"), 1, 20),
+            F.lit("Click here to enable javascript."),
+            F.lit("Too short."),
+        )
+        lm = Q.line_metrics(mtext)
+        return docs.select(
+            "doc_id",
+            Q.c4_clean_lines(mtext).alias("cleaned"),
+            *[v.alias(k) for k, v in lm.items()],
+        )
+
+    def ngram_repetition(spark, sf_dir):
+        """Gopher's top-2-gram repetition fraction; the one quality
+        metric needing a groupBy — keyed (doc, gram), map-side
+        combined."""
+        from memorious_spark.functions.quality import top_ngram_char_frac
+
+        return top_ngram_char_frac(_docs(spark, sf_dir), n=2)
+
     def clean_html_op(spark, sf_dir):
         """Rows-only check: clean_html over corpus pages, new hash."""
         from memorious_spark.operators.parse import clean_html_udf
@@ -1043,6 +1089,9 @@ pipeline:
         "media_decode_bmp": media_decode_bmp,
         "meta_dates": meta_dates,
         "extract_archive": extract_archive,
+        "gopher_quality": gopher_quality,
+        "c4_line_filter": c4_line_filter,
+        "ngram_repetition": ngram_repetition,
         "clean_html_op": clean_html_op,
     }
 
@@ -1533,6 +1582,97 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'doc_' || doc_id || '.txt' AS file_name,
                    octet_length(encode(text)) AS n_bytes
             FROM documents
+        """,
+        # Gopher word rules + keep conjunction (functions/quality.py);
+        # single-line corpus text → the line terms reduce to one
+        # regexp each and dup_line_char_frac to 0 (omitted: 0 ≤ 0.2
+        # always holds)
+        "gopher_quality": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 round(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                       / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
+                 round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                       / CAST(len(w) AS DOUBLE), 6) AS frac_alpha_words,
+                 round(((length(text) - length(replace(text,'#','')))
+                        + (length(text) - length(replace(text,'...','')))/3)
+                       / CAST(len(w) AS DOUBLE), 6) AS symbol_word_ratio,
+                 CAST(len(list_filter(
+                     ['the','be','to','of','and','that','have','with'],
+                     s -> list_contains(w, s))) AS BIGINT) AS stop_hits,
+                 regexp_matches(text, '^\s*[-*•]') AS bullet1,
+                 regexp_matches(text, '(\.\.\.|…)\s*$') AS ell1
+              FROM base
+            )
+            SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+                   symbol_word_ratio, stop_hits,
+               (n_words BETWEEN 10 AND 100000)
+               AND (mean_word_len BETWEEN 3.0 AND 10.0)
+               AND (symbol_word_ratio <= 0.1)
+               AND (frac_alpha_words >= 0.8) AND (stop_hits >= 2)
+               AND (NOT bullet1) AND (NOT ell1) AS keep
+            FROM m
+        """,
+        # C4 line filter + Gopher line metrics over the same
+        # deterministic multi-line synthesis as the Spark query
+        "c4_line_filter": r"""
+            WITH base AS (
+              SELECT doc_id,
+                'All about the corpus' || chr(10) || text || '.'
+                  || chr(10) || substr(text, 1, 20)
+                  || chr(10) || 'Click here to enable javascript.'
+                  || chr(10) || 'Too short.' AS mt
+              FROM documents
+            ), f AS (
+              SELECT doc_id, string_split(mt, chr(10)) AS lines FROM base
+            )
+            SELECT doc_id,
+              array_to_string(list_filter(lines, l ->
+                 regexp_matches(l, '[.!?"]\s*$')
+                 AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+                 AND NOT contains(lower(l), 'javascript')
+                 AND NOT contains(lower(l), '{')), chr(10)) AS cleaned,
+              round(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+                    / CAST(len(lines) AS DOUBLE), 6) AS frac_bullet_lines,
+              round(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                    / CAST(len(lines) AS DOUBLE), 6) AS frac_ellipsis_lines,
+              round((list_aggregate(list_transform(lines, x -> length(x)), 'sum')
+                     - list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum'))
+                    / CAST(greatest(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 1)
+                           AS DOUBLE), 6) AS dup_line_char_frac
+            FROM f
+        """,
+        # top-2-gram repetition; tie-break (count DESC, gram DESC)
+        # mirrors Spark's max(struct(c, gram)) — ASCII corpus words, so
+        # byte order == UTF-16 order
+        "ngram_repetition": r"""
+            WITH d AS (
+              SELECT doc_id, length(text) AS tlen,
+                     regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents
+            ), i AS (
+              SELECT doc_id, tlen, w, unnest(range(len(w) - 1)) AS i
+              FROM d WHERE len(w) >= 2
+            ), ng AS (
+              SELECT doc_id, tlen,
+                     w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS gram
+              FROM i
+            ), c AS (
+              SELECT doc_id, tlen, gram, count(*) AS c
+              FROM ng GROUP BY doc_id, tlen, gram
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS rn
+              FROM c
+            )
+            SELECT doc_id, gram AS top_gram, CAST(c AS BIGINT) AS top_gram_count,
+                   round(c * length(gram) / CAST(tlen AS DOUBLE), 6) AS top_gram_char_frac
+            FROM r WHERE rn = 1
         """,
         # clean_html_op: non-SQL-expressible (DOM surgery) → rows-only
         # check by design.

@@ -120,7 +120,7 @@ def run_worker(
     from memorious_spark.plans.storage import RunStore
     from memorious_spark.session import get_spark
     from memorious_spark.sources.corpus import build_corpus
-    from memorious_spark.functions import textops
+    from memorious_spark.functions import quality, textops
 
     spark = get_spark(master=f"local[{cpus}]", app_name=f"bench-{cpus}",
                       shuffle_partitions=cpus)
@@ -192,6 +192,14 @@ def run_worker(
             lambda: docs.select(
                 textops.lang_guess(F.col("text")).alias("l")
             ).groupBy("l").count().collect()
+        ),
+        "gopher_quality": timed(
+            lambda: docs.filter(
+                quality.gopher_keep(F.col("text"), min_words=10)
+            ).count()
+        ),
+        "ngram_repetition": timed(
+            lambda: quality.top_ngram_char_frac(docs).count()
         ),
     }
     if not skip_queries:

@@ -781,3 +781,67 @@ def test_lang_guess_twelve_languages(spark):
     ).collect()
     wrong = [(r["want"], r["lang"]) for r in got if r["lang"] != r["want"]]
     assert not wrong, wrong
+
+
+def test_quality_gopher_and_c4(spark):
+    """Gopher word/line rules + C4 line cleaning (functions/quality.py
+    — Rae et al. 2021 §A1.1, Raffel et al. 2020 §2.2): each rule must
+    reject exactly its own pathology and the cleaner must keep only
+    punctuated ≥3-word unbanned lines."""
+    from pyspark.sql import functions as F
+
+    from memorious_spark.functions import quality as Q
+
+    rows = [
+        (0, "the cat sat on the mat and that was all of it with more words to be sure"),
+        (1, "x" * 30),                      # mean word len 30 → reject
+        (2, "## ## ## word word word"),     # symbol ratio 1.0 → reject
+        (3, "short text"),                  # n_words < min → reject
+        (4, "line one is fine.\n- bullet\nends with dots...\nline one is fine."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wm = Q.word_metrics(F.col("text"))
+    lm = Q.line_metrics(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[v.alias(k) for k, v in wm.items()],
+            *[v.alias(k) for k, v in lm.items()],
+            Q.gopher_keep(F.col("text"), min_words=5).alias("keep"),
+            Q.c4_clean_lines(F.col("text")).alias("c4"),
+        ).collect()
+    }
+    assert out[0]["keep"] and out[0]["stop_hits"] >= 2
+    assert not out[1]["keep"] and out[1]["mean_word_len"] == 30.0
+    assert not out[2]["keep"] and out[2]["symbol_word_ratio"] == 1.0
+    assert not out[3]["keep"] and out[3]["n_words"] == 2
+    # line metrics: 1 of 4 lines bulleted, 1 ellipsis-ended, the
+    # duplicated "line one is fine." contributes its chars once
+    assert out[4]["frac_bullet_lines"] == 0.25
+    assert out[4]["frac_ellipsis_lines"] == 0.25
+    assert out[4]["dup_line_char_frac"] > 0.2 and not out[4]["keep"]
+    # C4: unpunctuated/bullet/short lines drop; dup punctuated lines stay
+    assert out[4]["c4"] == "line one is fine.\nends with dots...\nline one is fine."
+    assert out[0]["c4"] == ""  # no terminal punctuation anywhere
+
+
+def test_quality_top_ngram(spark):
+    """top_ngram_char_frac: occurrence-count approximation of the
+    most-frequent-2-gram char fraction; ties break to the
+    lexicographically largest gram (pinned for the SQL twin); docs
+    with <n words are absent, never [0,-1]-sequence artifacts."""
+    from memorious_spark.functions.quality import top_ngram_char_frac
+
+    rows = [
+        (0, "a b a b a"),      # "a b" ×2 (len 3) over 9 chars
+        (1, "solo"),           # 1 word → absent
+        (2, "x y"),            # single gram, frac 3/3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in top_ngram_char_frac(df).collect()}
+    assert set(got) == {0, 2}
+    assert got[0]["top_gram"] == "b a"  # 2×"a b" ties 2×"b a" → lexic. max
+    assert got[0]["top_gram_count"] == 2
+    assert abs(got[0]["top_gram_char_frac"] - 2 * 3 / 9) < 1e-6
+    assert got[2]["top_gram"] == "x y" and got[2]["top_gram_char_frac"] == 1.0
