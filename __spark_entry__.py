@@ -892,6 +892,7 @@ pipeline:
         ship_package(spark)
         docs = _docs(spark, sf_dir)
         day = (F.col("doc_id") % 28 + 1).cast("string")
+        qty = (F.col("doc_id") % 7 + 1).cast("string")
         raw = (
             F.when(F.col("doc_id") % 5 == 0,
                    F.concat(F.lit("2024-01-"), F.lpad(day, 2, "0")))
@@ -908,9 +909,20 @@ pipeline:
                   .when(F.col("doc_id") % 3 == 1,
                         F.concat(F.lit("le "), day, F.lit(" janvier 2024")))
                   .otherwise(F.concat(day, F.lit(" de enero de 2024"))))
+            .when(F.col("doc_id") % 10 == 4,
+                  # relative shapes (round-4 dateparser breadth) —
+                  # resolved against the INJECTED base below, rotating
+                  # language by doc_id
+                  F.when(F.col("doc_id") % 4 == 0,
+                         F.concat(qty, F.lit(" days ago")))
+                  .when(F.col("doc_id") % 4 == 1,
+                        F.concat(F.lit("vor "), qty, F.lit(" Tagen")))
+                  .when(F.col("doc_id") % 4 == 2,
+                        F.concat(F.lit("il y a "), qty, F.lit(" jours")))
+                  .otherwise(F.concat(F.lit("hace "), qty, F.lit(" días"))))
             .otherwise(F.lit("no date here"))
         )
-        iso = iso_date_udf()
+        iso = iso_date_udf(now="2024-03-15T12:00:00")
         return docs.select(
             "doc_id", raw.alias("raw"), iso(raw).alias("iso")
         )
@@ -1566,6 +1578,14 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN doc_id % 3 = 1
                                   THEN 'le ' || (doc_id % 28 + 1) || ' janvier 2024'
                                   ELSE (doc_id % 28 + 1) || ' de enero de 2024' END
+                        WHEN doc_id % 10 = 4
+                        THEN CASE WHEN doc_id % 4 = 0
+                                  THEN (doc_id % 7 + 1) || ' days ago'
+                                  WHEN doc_id % 4 = 1
+                                  THEN 'vor ' || (doc_id % 7 + 1) || ' Tagen'
+                                  WHEN doc_id % 4 = 2
+                                  THEN 'il y a ' || (doc_id % 7 + 1) || ' jours'
+                                  ELSE 'hace ' || (doc_id % 7 + 1) || ' días' END
                         ELSE 'no date here' END AS raw,
                    CASE WHEN doc_id % 5 = 0
                         THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00'
@@ -1575,6 +1595,8 @@ def oracle_sql() -> dict[str, str]:
                         THEN '2021-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00'
                         WHEN doc_id % 5 = 3
                         THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00'
+                        WHEN doc_id % 10 = 4
+                        THEN '2024-03-' || lpad(CAST(15 - (doc_id % 7 + 1) AS VARCHAR), 2, '0') || 'T12:00:00'
                         ELSE NULL END AS iso
             FROM documents
         """,
