@@ -844,6 +844,22 @@ pipeline:
             _docs(spark, sf_dir), n_perm=N_PERM, bands=N_BANDS
         )
 
+    def corpus_curate_op(spark, sf_dir):
+        """The FULL curation composition: Gopher quality gate (fused
+        into the corpus scan) → exact dedup → MinHash-LSH → components
+        → manifest with reason ∈ kept|exact|near|low_quality. Gate
+        thresholds tuned to the synthetic vocabulary (only 'the' of
+        the Gopher stopword list occurs → min_stop_hits=1)."""
+        from memorious_spark.functions.quality import gopher_keep
+
+        return dedup.curate_corpus(
+            _docs(spark, sf_dir),
+            quality_filter=gopher_keep(
+                F.col("text"), min_words=10, min_stop_hits=1
+            ),
+            n_perm=N_PERM, bands=N_BANDS,
+        )
+
     # -- text analysis -----------------------------------------------------
     def lang_id(spark, sf_dir):
         return _docs(spark, sf_dir).select(
@@ -1094,6 +1110,7 @@ pipeline:
         "ann_ivf_knn": ann_ivf_knn,
         "dedup_components": dedup_components_op,
         "corpus_dedup": corpus_dedup_op,
+        "corpus_curate": corpus_curate_op,
         "lang_id": lang_id,
         "text_quality": text_quality,
         "doc_fingerprint": doc_fingerprint,
@@ -1523,6 +1540,81 @@ def oracle_sql() -> dict[str, str]:
                         WHEN e.doc_id <> n.ncanon THEN 'near'
                         ELSE 'kept' END AS reason
             FROM ec e JOIN near n ON n.sid = e.ecanon
+        """,
+        # corpus_dedup's pipeline fed by the Gopher quality gate
+        # (functions/quality.py thresholds as the Spark query pins
+        # them), low-quality docs appended as their own manifest rows
+        "corpus_curate": f"""
+            WITH RECURSIVE
+            qw AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id, text,
+                 (CAST(len(w) AS BIGINT) BETWEEN 10 AND 100000)
+                 AND (round(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                        / CAST(len(w) AS DOUBLE), 6) BETWEEN 3.0 AND 10.0)
+                 AND (round(((length(text) - length(replace(text,'#','')))
+                         + (length(text) - length(replace(text,'...','')))/3)
+                        / CAST(len(w) AS DOUBLE), 6) <= 0.1)
+                 AND (round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                        / CAST(len(w) AS DOUBLE), 6) >= 0.8)
+                 AND (len(list_filter(
+                        ['the','be','to','of','and','that','have','with'],
+                        s -> list_contains(w, s))) >= 1)
+                 AND (NOT regexp_matches(text, '^\\s*[-*•]'))
+                 AND (NOT regexp_matches(text, '(\\.\\.\\.|…)\\s*$')) AS keep
+              FROM qw
+            ),
+            good AS (SELECT doc_id, text FROM q WHERE keep),
+            fp AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+              FROM good
+            ),
+            ec AS (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS ecanon FROM fp
+            ),
+            surv AS (SELECT doc_id FROM ec WHERE doc_id = ecanon),
+            t AS (
+              SELECT d.doc_id, string_split(trim(d.text), ' ') AS toks
+              FROM good d JOIN surv sv ON sv.doc_id = d.doc_id
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2] AS s
+              FROM t, LATERAL unnest(
+                generate_series(1, greatest(len(toks) - 2, 1))) AS u(j)
+            ),
+            mins AS ({_minhash_sql_mins()}),
+            bands AS ({_minhash_sql_bands()}),
+            prs AS (SELECT DISTINCT id_a, id_b FROM ({band_joins})),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM prs
+              UNION
+              SELECT id_b, id_a FROM prs
+            ),
+            reach(id, label) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+            near AS (
+              SELECT sv.doc_id AS sid,
+                     coalesce(c.component, sv.doc_id) AS ncanon
+              FROM surv sv LEFT JOIN comp c ON c.id = sv.doc_id
+            )
+            SELECT e.doc_id AS doc_id, n.ncanon AS canonical_id,
+                   CASE WHEN e.doc_id <> e.ecanon THEN 'exact'
+                        WHEN e.doc_id <> n.ncanon THEN 'near'
+                        ELSE 'kept' END AS reason
+            FROM ec e JOIN near n ON n.sid = e.ecanon
+            UNION ALL
+            SELECT doc_id, doc_id AS canonical_id, 'low_quality' AS reason
+            FROM q WHERE NOT keep
         """,
         "lang_id": _lang_sql(),
         "text_quality": f"""

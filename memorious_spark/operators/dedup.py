@@ -42,6 +42,7 @@ __all__ = [
     "embedding_dup_pairs_lsh",
     "dedup_components",
     "corpus_dedup",
+    "curate_corpus",
 ]
 
 
@@ -340,6 +341,60 @@ def corpus_dedup(
         )
     )
     return out
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_filter: Column | None = None,
+    n_perm: int = 16,
+    bands: int = 4,
+    k_shingle: int = 3,
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The full curation composition a training-data pipeline runs:
+    **quality gate → exact dedup → MinHash-LSH → components →
+    manifest**. One row per input doc: ``(id_col, canonical_id,
+    reason ∈ {'kept', 'exact', 'near', 'low_quality'})``.
+
+    The quality gate (default: :func:`functions.quality.gopher_keep`
+    at the paper's thresholds; pass any boolean Column to override)
+    runs FIRST — it's a pure-Column filter fused into the corpus scan,
+    so the expensive stages (shingling, signature banding, the pair
+    join) only ever see the survivors. Dropped docs appear in the
+    manifest as ``low_quality`` with themselves as canonical (they
+    have no representative — they're cut, not merged).
+
+    Ordering note: quality-then-dedup also matches the published
+    pipelines (C4, Gopher, RefinedWeb all filter before dedup) —
+    boilerplate-heavy junk otherwise dominates the near-dup clusters.
+    """
+    from memorious_spark.functions.quality import gopher_keep
+
+    keep = (
+        quality_filter
+        if quality_filter is not None
+        else gopher_keep(F.col(text_col))
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(text_col).alias(text_col),
+        keep.alias("_q"),
+    )
+    man = corpus_dedup(
+        base.filter(F.col("_q")).drop("_q"),
+        id_col=id_col, text_col=text_col,
+        n_perm=n_perm, bands=bands, k_shingle=k_shingle,
+        max_iter=max_iter, stats=stats,
+    )
+    low = base.filter(~F.col("_q")).select(
+        F.col(id_col),
+        F.col(id_col).alias("canonical_id"),
+        F.lit("low_quality").alias("reason"),
+    )
+    return man.unionByName(low)
 
 
 def exact_dedup(

@@ -845,3 +845,38 @@ def test_quality_top_ngram(spark):
     assert got[0]["top_gram_count"] == 2
     assert abs(got[0]["top_gram_char_frac"] - 2 * 3 / 9) < 1e-6
     assert got[2]["top_gram"] == "x y" and got[2]["top_gram_char_frac"] == 1.0
+
+
+def test_curate_corpus_manifest_reasons(spark):
+    """curate_corpus = quality gate -> exact -> near -> components in
+    ONE call: every input doc appears exactly once in the manifest
+    with reason kept/exact/near/low_quality, low-quality docs are cut
+    BEFORE the dedup stages (they never become anyone's canonical),
+    and near-dup chains resolve to the min surviving id."""
+    from memorious_spark.functions import quality as Q
+
+    base = ("the cat sat on the mat and then the dog ran over the "
+            "hill to find the bone it had buried there last week")
+    rows = [
+        (1, base),                      # canonical of the near cluster
+        (2, base + " again"),           # near-dup of 1 (high Jaccard)
+        (3, base),                      # exact dup of 1
+        (4, "short junk"),              # fails gopher gate -> low_quality
+        (5, "a completely different document about spark shuffles and "
+            "the partitioning of very large web corpora for training"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["reason"])
+        for r in dedup.curate_corpus(
+            df,
+            quality_filter=Q.gopher_keep(F.col("text"), min_words=10),
+            n_perm=16, bands=4,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1] == (1, "kept")
+    assert out[2] == (1, "near")
+    assert out[3] == (1, "exact")
+    assert out[4] == (4, "low_quality")
+    assert out[5] == (5, "kept")
