@@ -880,6 +880,23 @@ pipeline:
             "doc_id", textops.fingerprint(F.col("text")).alias("fingerprint")
         )
 
+    def strip_boilerplate(spark, sf_dir):
+        """Corpus-level line dedup: lines appearing in >= 2 docs are
+        boilerplate, stripped from every doc in one broadcast pass."""
+        return dedup.strip_boilerplate_lines(
+            _docs(spark, sf_dir).select("doc_id", "text"), min_docs=2
+        )
+
+    def token_stats(spark, sf_dir):
+        """Whitespace + BPE-ish (GPT-2 pre-tokenizer) token counts —
+        the two standard budget units of a training-data pipeline,
+        both single codegen'd expressions over one scan."""
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            textops.token_count(F.col("text")).alias("ws_tokens"),
+            textops.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        )
+
     # -- multimodal + archives ----------------------------------------------
     def media_features(spark, sf_dir):
         from memorious_spark.operators.multimodal import (
@@ -1113,6 +1130,8 @@ pipeline:
         "corpus_curate": corpus_curate_op,
         "lang_id": lang_id,
         "text_quality": text_quality,
+        "token_stats": token_stats,
+        "strip_boilerplate": strip_boilerplate,
         "doc_fingerprint": doc_fingerprint,
         "media_features": media_features,
         "media_decode_bmp": media_decode_bmp,
@@ -1633,6 +1652,35 @@ def oracle_sql() -> dict[str, str]:
                      + least(tokens / 100.0, 1.0) * 0.3
                      + least({_stop_sql()} / tokens, 1.0) * 0.2, 6) AS quality
             FROM base
+        """,
+        # corpus-global line frequency -> hot list folded to one row
+        # (the SQL twin of the broadcast-array rewrite path)
+        "strip_boilerplate": """
+            WITH l AS (
+              SELECT DISTINCT doc_id, trim(x) AS k
+              FROM documents,
+                   LATERAL unnest(string_split(text, chr(10))) AS u(x)
+              WHERE trim(x) <> ''
+            ),
+            hot AS (SELECT k FROM l GROUP BY k HAVING count(*) >= 2),
+            hotl AS (SELECT coalesce(list(k), []) AS ks FROM hot)
+            SELECT d.doc_id,
+                   array_to_string(
+                     list_filter(string_split(d.text, chr(10)),
+                       x -> trim(x) = '' OR NOT list_contains(h.ks, trim(x))),
+                     chr(10)) AS text
+            FROM documents d CROSS JOIN hotl h
+        """,
+        # same RE2/java.util.regex-portable pre-tokenizer pattern as
+        # textops._BPE_PRETOKEN_RE ('' = escaped apostrophe in SQL)
+        "token_stats": r"""
+            SELECT doc_id,
+                   (length(text) - length(replace(text, ' ', '')) + 1)
+                     AS ws_tokens,
+                   len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                     AS bpe_tokens
+            FROM documents
         """,
         "doc_fingerprint": """
             SELECT doc_id,

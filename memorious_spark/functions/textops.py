@@ -17,6 +17,7 @@ from pyspark.sql import Column, functions as F
 
 __all__ = [
     "token_count",
+    "bpe_token_count",
     "alpha_ratio",
     "stopword_hits",
     "quality_score",
@@ -66,6 +67,29 @@ def token_count(text: Column) -> Column:
     return (
         F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
     ).cast("long")
+
+
+# GPT-2-style pre-tokenizer (Radford et al. 2019, the public
+# gpt2/encoder.py pattern) minus the trailing-space lookahead:
+# RE2 (DuckDB's engine) has no lookahead, and dropping it provably
+# preserves the MATCH COUNT — the lookahead only moves one leading
+# space from a whitespace run into the following word token.
+# Both java.util.regex and RE2 read \p{L}/\p{N} identically.
+_BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of GPT-2 pre-tokenizer segments.
+
+    This is the standard cheap proxy for "how many tokens will the
+    tokenizer emit" (pre-tokenization is the unit BPE merges within;
+    actual BPE splits each segment further, so this is a stable lower
+    bound with a corpus-constant ratio). One ``regexp_count`` — stays
+    in whole-stage codegen, no UDF, no vocab file.
+
+    SQL twin: ``length(regexp_extract_all(t, <same pattern>))``.
+    """
+    return F.regexp_count(text, F.lit(_BPE_PRETOKEN_RE)).cast("long")
 
 
 def alpha_ratio(text: Column) -> Column:

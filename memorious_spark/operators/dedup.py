@@ -43,6 +43,7 @@ __all__ = [
     "dedup_components",
     "corpus_dedup",
     "curate_corpus",
+    "strip_boilerplate_lines",
 ]
 
 
@@ -395,6 +396,114 @@ def curate_corpus(
         F.lit("low_quality").alias("reason"),
     )
     return man.unionByName(low)
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    broadcast_max: int = 200_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Corpus-level line deduplication (the RefinedWeb / CCNet
+    boilerplate cut): a non-empty line whose trimmed form appears in
+    ``min_docs`` or more documents is boilerplate — nav bars, cookie
+    banners, footers — and is removed from EVERY document. Returns the
+    input columns with ``text_col`` rewritten (blank lines and line
+    order preserved).
+
+    Plan: one line-explode + hash-aggregate finds the hot set (the
+    only unavoidable shuffle — line frequency is a corpus-global
+    fact). Removal then auto-routes:
+
+    - hot set ≤ ``broadcast_max``: the set is folded to ONE array row
+      and broadcast-crossJoined, so the rewrite is a pure Column
+      ``filter``/``array_join`` over the original scan — document
+      bodies never shuffle.
+    - bigger: posexplode → broadcast-less anti-join on the line key →
+      regroup by id (bodies cross the wire once; correct at any hot
+      size).
+
+    NO SILENT CAP: the hot-line count and the postings they cover are
+    logged and surfaced via ``stats`` (``hot_lines``,
+    ``hot_postings``, ``path``).
+    """
+    trimmed_lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), "\n"), lambda l: F.trim(l)
+        ),
+        lambda t: t != "",
+    )
+    lines = ensure_parallelism(docs).select(
+        F.explode(F.array_distinct(trimmed_lines)).alias("k")
+    )
+    hot = (
+        lines.groupBy("k")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .persist()
+    )
+    agg = hot.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("df"), F.lit(0)).alias("postings"),
+    ).head()
+    n_hot = int(agg["n"])
+    if stats is not None:
+        stats["hot_lines"] = n_hot
+        stats["hot_postings"] = int(agg["postings"])
+        stats["path"] = "broadcast" if n_hot <= broadcast_max else "regroup"
+    if n_hot:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "strip_boilerplate_lines: %d line(s) appear in >= %d docs "
+            "(%d postings) — stripping corpus-wide",
+            n_hot, min_docs, int(agg["postings"]),
+        )
+    cols = docs.columns
+    if n_hot <= broadcast_max:
+        hotarr = hot.agg(F.collect_set("k").alias("_hot"))
+        out = (
+            docs.crossJoin(F.broadcast(hotarr))
+            .withColumn(
+                text_col,
+                F.array_join(
+                    F.filter(
+                        F.split(F.col(text_col), "\n"),
+                        lambda l: (F.trim(l) == F.lit(""))
+                        | ~F.array_contains(F.col("_hot"), F.trim(l)),
+                    ),
+                    "\n",
+                ),
+            )
+            .select(*cols)
+        )
+    else:
+        pos = docs.select(
+            F.col(id_col).alias("_sid"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "_pos", "_line"
+            ),
+        )
+        kept = pos.join(
+            hot.select("k"), F.trim(pos["_line"]) == F.col("k"), "left_anti"
+        )
+        rebuilt = kept.groupBy("_sid").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("_clean")
+        )
+        out = (
+            docs.join(rebuilt, docs[id_col] == rebuilt["_sid"], "left")
+            .withColumn(text_col, F.coalesce("_clean", F.lit("")))
+            .select(*cols)
+        )
+    return out
 
 
 def exact_dedup(

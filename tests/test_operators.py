@@ -880,3 +880,57 @@ def test_curate_corpus_manifest_reasons(spark):
     assert out[3] == (1, "exact")
     assert out[4] == (4, "low_quality")
     assert out[5] == (5, "kept")
+
+
+def test_bpe_token_count_pretokenizer_semantics(spark):
+    """bpe_token_count = GPT-2 pre-tokenizer segment count: leading
+    space folds into the word token, contractions split ('s 't 'll),
+    digit runs and punctuation runs are their own tokens, unicode
+    letters count via \\p{L}."""
+    rows = [
+        (0, "Hello world"),            # Hello | _world
+        (1, "it's can't we'll"),       # it|'s|_can|'t|_we|'ll
+        (2, "a  b"),                   # a | (ws) | _b
+        (3, "x123 y!!"),               # x|123|_y|!!
+        (4, "héllo wörld"),            # héllo | _wörld
+        (5, ""),                       # no tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", textops.bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got == {0: 2, 1: 6, 2: 3, 3: 4, 4: 2, 5: 0}
+
+
+def test_strip_boilerplate_lines_both_paths(spark):
+    """Corpus-wide line dedup: a trimmed line in >= min_docs docs is
+    stripped everywhere, blank lines and ordering survive, docs whose
+    every line is boilerplate come back empty — and the broadcast and
+    regroup plans produce identical output."""
+    rows = [
+        (1, "cookie banner\nreal content one\n\nfooter text"),
+        (2, "  cookie banner \nreal content two\nfooter text"),
+        (3, "cookie banner\nfooter text"),   # all boilerplate
+        (4, "unique only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        1: "real content one\n",
+        2: "real content two",
+        3: "",
+        4: "unique only",
+    }
+    for bmax, path in ((1000, "broadcast"), (0, "regroup")):
+        stats = {}
+        out = {
+            r["doc_id"]: r["text"]
+            for r in dedup.strip_boilerplate_lines(
+                df, min_docs=2, broadcast_max=bmax, stats=stats
+            ).collect()
+        }
+        assert stats["path"] == path
+        assert stats["hot_lines"] == 2 and stats["hot_postings"] == 6
+        assert out == want, path
