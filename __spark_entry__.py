@@ -897,6 +897,101 @@ pipeline:
             textops.bpe_token_count(F.col("text")).alias("bpe_tokens"),
         )
 
+    def pii_scrub_op(spark, sf_dir):
+        """PII redaction over the corpus. The synthetic docs carry no
+        PII, so deterministic addresses/IPs/phones are appended by
+        doc_id residue (same construction in the oracle) and the REAL
+        scrub kernel (three codegen'd regexp passes) runs over it."""
+        from memorious_spark.functions.privacy import pii_metrics, pii_scrub
+
+        d = _docs(spark, sf_dir)
+        did = F.col("doc_id")
+        raw = F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"),
+                         F.lit("@example.org")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                         F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" call +1 555 01"),
+                         F.lpad((did % 100).cast("string"), 2, "0"),
+                         F.lit(" 44")),
+            ).otherwise(F.lit("")),
+        )
+        m = pii_metrics(raw)
+        return d.select(
+            "doc_id",
+            m["n_emails"].alias("n_emails"),
+            m["n_ipv4"].alias("n_ipv4"),
+            m["n_phones"].alias("n_phones"),
+            pii_scrub(raw).alias("scrubbed"),
+        )
+
+    def decontaminate(spark, sf_dir):
+        """Benchmark decontamination: every 50th doc stands in for the
+        eval set; docs sharing any word 8-gram with it are flagged
+        (broadcast-array path — the benchmark side is the small one)."""
+        from memorious_spark.operators.contamination import flag_contaminated
+
+        d = _docs(spark, sf_dir)
+        bench = d.filter(F.col("doc_id") % 50 == 0)
+        return flag_contaminated(d, bench, n=8)
+
+    def token_shards(spark, sf_dir):
+        """Concat-and-chunk shard layout: global exclusive prefix sum
+        of token counts in doc_id order via the two-phase distributed
+        scan (NOT a single-partition window), shard = floor(offset /
+        2000)."""
+        from memorious_spark.operators.packing import pack_token_shards
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id", textops.token_count(F.col("text")).alias("tokens")
+        )
+        return pack_token_shards(d, budget=2000)
+
+    def quota_sample_lang(spark, sf_dir):
+        """Deterministic stratified sampling: at most 60 docs per
+        language, selected by (md5(doc_id), doc_id) — prune-then-exact
+        (the window only sees ~2×quota candidates, never the full
+        stratum)."""
+        from memorious_spark.operators.sampling import quota_sample
+
+        return quota_sample(
+            _docs(spark, sf_dir).select("doc_id", "lang"), "lang", quota=60
+        )
+
+    def warc_roundtrip(spark, sf_dir):
+        """WARC sink → source round trip: the corpus is written as
+        ISO-28500 records (one file per partition through pyarrow.fs)
+        and read back via the binaryFile-scan parser; returns each
+        record's uri-derived doc_id and payload md5 — equality with
+        the oracle's md5(text) proves byte-exact archival."""
+        import shutil
+        import tempfile
+
+        from memorious_spark.sources.warc import read_warc, write_warc
+
+        ship_package(spark)
+        d = _docs(spark, sf_dir).select(
+            F.concat(F.lit("urn:doc:"), F.col("doc_id")).alias("uri"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+        )
+        tmp = tempfile.mkdtemp(prefix="warc_")
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_warc(d.repartition(8), tmp).collect()
+        back = read_warc(spark, f"{tmp}/*.warc")
+        return back.select(
+            F.substring_index("uri", ":", -1).cast("long").alias("doc_id"),
+            F.md5("payload").alias("payload_md5"),
+        )
+
     # -- multimodal + archives ----------------------------------------------
     def media_features(spark, sf_dir):
         from memorious_spark.operators.multimodal import (
@@ -1132,6 +1227,11 @@ pipeline:
         "text_quality": text_quality,
         "token_stats": token_stats,
         "strip_boilerplate": strip_boilerplate,
+        "pii_scrub": pii_scrub_op,
+        "decontaminate": decontaminate,
+        "token_shards": token_shards,
+        "quota_sample_lang": quota_sample_lang,
+        "warc_roundtrip": warc_roundtrip,
         "doc_fingerprint": doc_fingerprint,
         "media_features": media_features,
         "media_decode_bmp": media_decode_bmp,
@@ -1145,6 +1245,8 @@ pipeline:
 
 
 def oracle_sql() -> dict[str, str]:
+    from memorious_spark.functions.privacy import EMAIL_RE, IPV4_RE, PHONE_RE
+
     r = N_PERM // N_BANDS
     band_joins = "\nUNION\n".join(
         f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
@@ -1681,6 +1783,92 @@ def oracle_sql() -> dict[str, str]:
                      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
                      AS bpe_tokens
             FROM documents
+        """,
+        # same java/RE2-portable patterns as functions/privacy.py,
+        # substituted from the module constants so they cannot drift
+        "pii_scrub": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id %% 3 = 0 THEN ' contact user'
+                          || doc_id || '@example.org' ELSE '' END
+                     || CASE WHEN doc_id %% 4 = 0 THEN ' from 10.0.'
+                          || (doc_id %% 256) || '.7' ELSE '' END
+                     || CASE WHEN doc_id %% 5 = 0 THEN ' call +1 555 01'
+                          || lpad((doc_id %% 100)::varchar, 2, '0')
+                          || ' 44' ELSE '' END AS t
+              FROM documents
+            ),
+            s1 AS (SELECT doc_id, t,
+                          regexp_replace(t, '%(email)s', '<EMAIL>', 'g') AS a
+                   FROM raw),
+            s2 AS (SELECT doc_id, t, a,
+                          regexp_replace(a, '%(ip)s', '<IP>', 'g') AS c
+                   FROM s1)
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '%(email)s')) AS n_emails,
+                   len(regexp_extract_all(a, '%(ip)s')) AS n_ipv4,
+                   len(regexp_extract_all(c, '%(phone)s')) AS n_phones,
+                   regexp_replace(c, '%(phone)s', '<PHONE>', 'g') AS scrubbed
+            FROM s2
+        """ % {"email": EMAIL_RE, "ip": IPV4_RE, "phone": PHONE_RE},
+        # distinct word 8-grams vs the every-50th-doc benchmark set,
+        # folded to one list (the SQL twin of the broadcast-array path)
+        "decontaminate": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(w) - 8 + 2, 1)),
+                       i -> array_to_string(
+                              list_slice(w, i::int, (i + 7)::int), ' ')
+                     )) AS grams
+              FROM d
+            ),
+            b AS (SELECT DISTINCT unnest(grams) AS gm FROM g
+                  WHERE doc_id % 50 = 0),
+            bl AS (SELECT coalesce(list(gm), []) AS ks FROM b)
+            SELECT g.doc_id,
+                   len(list_filter(g.grams,
+                       x -> list_contains(bl.ks, x)))::bigint AS n_hit_grams,
+                   len(list_filter(g.grams,
+                       x -> list_contains(bl.ks, x))) > 0 AS contaminated
+            FROM g CROSS JOIN bl
+        """,
+        # the single-partition global window the Spark side must EQUAL
+        # (but never executes — it runs the two-phase distributed scan)
+        "token_shards": """
+            WITH t AS (
+              SELECT doc_id,
+                     (length(text) - length(replace(text, ' ', '')) + 1)
+                       AS tokens
+              FROM documents
+            )
+            SELECT doc_id, tokens,
+                   coalesce(sum(tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS "offset",
+                   floor(coalesce(sum(tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 2000)::bigint AS shard
+            FROM t
+        """,
+        "quota_sample_lang": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(doc_id::varchar), doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 60
+        """,
+        # byte-exact archival: md5 of the utf-8 payload the WARC round
+        # trip must reproduce
+        "warc_roundtrip": """
+            SELECT doc_id, md5(text) AS payload_md5 FROM documents
         """,
         "doc_fingerprint": """
             SELECT doc_id,

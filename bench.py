@@ -120,7 +120,8 @@ def run_worker(
     from memorious_spark.plans.storage import RunStore
     from memorious_spark.session import get_spark
     from memorious_spark.sources.corpus import build_corpus
-    from memorious_spark.functions import quality, textops
+    from memorious_spark.functions import privacy, quality, textops
+    from memorious_spark.operators import contamination, packing, sampling
 
     spark = get_spark(master=f"local[{cpus}]", app_name=f"bench-{cpus}",
                       shuffle_partitions=cpus)
@@ -200,6 +201,35 @@ def run_worker(
         ),
         "ngram_repetition": timed(
             lambda: quality.top_ngram_char_frac(docs).count()
+        ),
+        "strip_boilerplate": timed(
+            lambda: dedup.strip_boilerplate_lines(
+                docs.select("doc_id", "text")
+            ).agg(F.sum(F.length("text"))).collect()
+        ),
+        "decontaminate": timed(
+            lambda: contamination.flag_contaminated(
+                docs, docs.filter(F.col("doc_id") % 50 == 0), n=8
+            ).filter("contaminated").count()
+        ),
+        "token_shards": timed(
+            lambda: packing.pack_token_shards(
+                docs.select(
+                    "doc_id",
+                    textops.token_count(F.col("text")).alias("tokens"),
+                ),
+                budget=2000,
+            ).agg(F.max("shard")).collect()
+        ),
+        "quota_sample": timed(
+            lambda: sampling.quota_sample(
+                docs.select("doc_id", "lang"), "lang", quota=n_docs // 20
+            ).count()
+        ),
+        "pii_scrub": timed(
+            lambda: docs.select(
+                privacy.pii_scrub(F.col("text")).alias("s")
+            ).agg(F.sum(F.length("s"))).collect()
         ),
     }
     if not skip_queries:

@@ -1,0 +1,137 @@
+"""Deterministic stratified quota sampling.
+
+A webtext pipeline rebalances its corpus by stratum — e.g. cap every
+language at N documents, or draw a fixed-size eval holdout per domain
+— and the draw must be (a) EXACT (precisely ``quota`` rows per group,
+or the whole group when smaller) and (b) REPRODUCIBLE across engines
+and runs (no RNG state: re-running the pipeline must select the same
+documents). Selection key: ``(md5(cast(id AS string)), id)`` — a
+deterministic pseudo-random order both Spark and DuckDB compute
+bit-identically, so the driver oracle is a plain ``row_number()``
+window.
+
+Scale posture (the reason this module exists instead of one window):
+``row_number() OVER (PARTITION BY lang ...)`` funnels each group into
+ONE task — a 40-TB English stratum lands on a single executor.
+Here the window only ever sees a PRUNED candidate set:
+
+1. one map-side-combinable aggregate computes per-group counts; the
+   pruning threshold needs NO sketch — md5 keys are uniform on the
+   key space, so the quota-th key concentrates at ``quota/n`` of the
+   range and ``quota × safety / n`` bounds it with Chernoff-small
+   failure odds;
+2. the corpus is filtered to rows under that per-group threshold —
+   because hex md5 ordering is lexicographic and the numeric prefix
+   preserves it, this keeps a PREFIX of each group's global order;
+3. the exact ``row_number`` trim runs over ~``quota × safety`` rows
+   per group, not the group;
+4. any group whose candidate set came up short (uniformity tail)
+   falls back to the full window — detected, counted in ``stats``,
+   and correct, never silent.
+
+Groups at or under quota skip the window entirely (kept via one
+broadcast-joined count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["quota_sample", "sample_key"]
+
+
+def sample_key(id_col: str) -> F.Column:
+    """The deterministic selection key: lowercase-hex md5 of the id's
+    decimal string form. Identical in Spark and DuckDB."""
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def _num_key(id_col: str) -> F.Column:
+    # First 15 hex chars as a bigint (60 bits < long). Hex-string
+    # lexicographic order == numeric prefix order (0-9a-f are
+    # ASCII-ascending), so a numeric threshold prunes a prefix of
+    # the md5-string order.
+    return F.conv(F.substring(sample_key(id_col), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def quota_sample(
+    docs: DataFrame,
+    group_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    safety: float = 2.0,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Keep at most ``quota`` rows per ``group_col`` value, selected
+    by the deterministic key — exactly the rows a global
+    ``row_number() OVER (PARTITION BY group ORDER BY md5(id), id) <=
+    quota`` would keep. Returns the input columns unchanged.
+
+    ``id_col`` must be unique. ``stats`` receives ``n_groups``,
+    ``groups_pruned`` (went through the candidate window),
+    ``groups_small`` (kept whole), ``groups_fallback`` (sketch missed;
+    exact full-group window used).
+    """
+    if quota <= 0:
+        raise ValueError(f"quota must be positive, got {quota}")
+    cols = docs.columns
+    key = _num_key(id_col)
+    max_key = float(16**15)
+    # one map-side-combinable pass: group sizes; thresholds follow
+    # from md5 uniformity (no sketch, no extra scan)
+    grp = (
+        docs.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_thr",
+            F.least(
+                F.lit(max_key),
+                F.lit(float(quota) * safety) * F.lit(max_key) / F.col("_n"),
+            ).cast("long"),
+        )
+        .persist()
+    )
+    small = grp.filter(F.col("_n") <= quota)
+    big = grp.filter(F.col("_n") > quota)
+
+    kept_small = docs.join(
+        F.broadcast(small.select(group_col)), group_col, "left_semi"
+    )
+
+    cand = docs.join(
+        F.broadcast(big.select(group_col, "_thr")), group_col
+    ).filter(key <= F.col("_thr"))
+    # exactness check: a pruned group must still hold >= quota rows
+    cand_n = cand.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cn"))
+    short = (
+        big.join(cand_n, group_col, "left")
+        .filter(F.coalesce(F.col("_cn"), F.lit(0)) < quota)
+        .select(group_col)
+        .persist()
+    )
+    n_short = short.count()
+
+    w = Window.partitionBy(group_col).orderBy(sample_key(id_col), id_col)
+    kept_big = (
+        cand.join(F.broadcast(short), group_col, "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .select(*cols)
+    )
+    out = kept_small.select(*cols).unionByName(kept_big)
+    if n_short:
+        fb = (
+            docs.join(F.broadcast(short), group_col, "left_semi")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= quota)
+            .select(*cols)
+        )
+        out = out.unionByName(fb)
+    if stats is not None:
+        stats["n_groups"] = grp.count()
+        stats["groups_small"] = small.count()
+        stats["groups_pruned"] = big.count() - n_short
+        stats["groups_fallback"] = n_short
+    return out

@@ -934,3 +934,160 @@ def test_strip_boilerplate_lines_both_paths(spark):
         assert stats["path"] == path
         assert stats["hot_lines"] == 2 and stats["hot_postings"] == 6
         assert out == want, path
+
+
+# ---- round-4 curation extensions: PII, decontamination, packing, ----
+# ---- sampling, WARC                                              ----
+
+def test_pii_scrub_and_metrics(spark):
+    """Redaction order is pinned (email -> ip -> phone): placeholders
+    carry no digits, counts equal placeholder emissions, clean text
+    passes through untouched."""
+    from memorious_spark.functions.privacy import pii_metrics, pii_scrub
+
+    rows = [
+        (0, "write a@b.io or call +1 (555) 123-4567 from 10.0.0.1"),
+        (1, "year 2024 and 1.2.3.4.5 trailing quad"),
+        (2, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    m = pii_metrics(F.col("t"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id", m["n_emails"].alias("e"), m["n_ipv4"].alias("i"),
+            m["n_phones"].alias("p"), pii_scrub(F.col("t")).alias("s"),
+        ).collect()
+    }
+    assert (got[0]["e"], got[0]["i"], got[0]["p"]) == (1, 1, 1)
+    assert got[0]["s"] == "write <EMAIL> or call <PHONE> from <IP>"
+    # documented over-match: the first dotted quad of 1.2.3.4.5 is
+    # scrubbed (\b holds between digit and dot), year 2024 is not
+    assert got[1]["s"] == "year 2024 and <IP>.5 trailing quad"
+    assert got[1]["i"] == 1
+    assert got[2]["s"] == rows[2][1]
+
+
+def test_flag_contaminated_paths_agree(spark):
+    """Any-13-gram-overlap decontamination: both the broadcast-array
+    and the join path flag the same docs with the same DISTINCT hit
+    counts (a doc repeating one benchmark sentence scores 1)."""
+    from memorious_spark.operators.contamination import flag_contaminated
+
+    bench_sent = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {bench_sent} outro words here"),
+            (2, f"{bench_sent} again {bench_sent} repeated"),
+            (3, "entirely different content with no overlap at all"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, f"benchmark says {bench_sent} indeed")], "qid long, text string"
+    )
+    results = []
+    for bmax in (10**6, 0):
+        stats = {}
+        out = {
+            r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+            for r in flag_contaminated(
+                docs, bench, n=5, broadcast_max=bmax, stats=stats
+            ).collect()
+        }
+        results.append((stats["path"], out))
+    assert results[0][0] == "broadcast" and results[1][0] == "join"
+    assert results[0][1] == results[1][1]
+    out = results[0][1]
+    assert out[1] == (1, True)
+    assert out[2][0] >= 1 and out[2][1]
+    assert out[3] == (0, False) and out[4] == (0, False)
+
+
+def test_pack_token_shards_matches_global_prefix_sum(spark):
+    """The two-phase distributed scan equals the single-partition
+    global window bit-for-bit, docs land in the shard they START in,
+    and a non-positive budget rejects."""
+    from memorious_spark.operators.packing import pack_token_shards
+
+    docs = spark.range(777).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 13) % 41 + 1).alias("tokens")
+    )
+    out = {
+        r["doc_id"]: (r["offset"], r["shard"])
+        for r in pack_token_shards(docs, budget=300, num_partitions=7).collect()
+    }
+    off = 0
+    for i in range(777):
+        assert out[i] == (off, off // 300), i
+        off += (i * 13) % 41 + 1
+    with pytest.raises(ValueError, match="budget"):
+        pack_token_shards(docs, budget=0)
+
+
+def test_quota_sample_exact_and_fallback(spark):
+    """Prune-then-exact quota sampling selects EXACTLY the global
+    row_number()-by-(md5,id) top-N per group on both the pruned path
+    and the forced-fallback path (safety too small to cover quota)."""
+    import hashlib
+    from collections import defaultdict
+
+    from memorious_spark.operators.sampling import quota_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, grp string")
+    by = defaultdict(list)
+    for i, g in rows:
+        by[g].append((hashlib.md5(str(i).encode()).hexdigest(), i))
+    want = {(i, g) for g, lst in by.items() for _, i in sorted(lst)[:50]}
+    for safety, fb in ((2.0, 0), (0.05, 2)):
+        stats = {}
+        got = {
+            (r["doc_id"], r["grp"])
+            for r in quota_sample(
+                docs, "grp", quota=50, safety=safety, stats=stats
+            ).collect()
+        }
+        assert got == want, safety
+        assert stats["groups_fallback"] == fb, stats
+    # redo with quota that makes 'small' an under-quota group
+    stats = {}
+    got = {
+        (r["doc_id"], r["grp"])
+        for r in quota_sample(docs, "grp", quota=150, stats=stats).collect()
+    }
+    want = {(i, "small") for i in range(900, 1000)} | {
+        (i, "big") for _, i in sorted(by["big"])[:150]
+    }
+    assert got == want
+    assert stats["groups_small"] == 1 and stats["groups_pruned"] == 1
+
+
+def test_warc_roundtrip_and_fail_loud(spark, tmp_path):
+    """WARC write -> read reproduces uri + payload bytes exactly
+    (CRLF payloads included); empty partitions emit no file; a
+    truncated record raises with the file name."""
+    from memorious_spark.sources.warc import read_warc, write_warc
+
+    docs = spark.createDataFrame(
+        [(f"urn:doc:{i}", f"body {i}\r\nwith crlf é".encode()) for i in range(20)],
+        "uri string, payload binary",
+    )
+    dest = str(tmp_path / "warc")
+    summary = write_warc(docs.repartition(30), dest).collect()
+    assert sum(r["n_records"] for r in summary) == 20
+    assert len(summary) <= 20  # 10 empty partitions -> no files
+    back = {
+        r["uri"]: bytes(r["payload"])
+        for r in read_warc(spark, f"{dest}/*.warc").collect()
+    }
+    assert back == {r["uri"]: bytes(r["payload"]) for r in docs.collect()}
+    # truncate one file mid-payload -> loud failure naming the file
+    import glob, os
+
+    victim = sorted(glob.glob(f"{dest}/*.warc"))[0]
+    data = open(victim, "rb").read()
+    open(victim, "wb").write(data[: len(data) - 6])
+    with pytest.raises(Exception, match="truncated record"):
+        read_warc(spark, f"{dest}/*.warc").collect()
