@@ -1011,6 +1011,54 @@ pipeline:
             F.round(F.element_at("features", 2).cast("double"), 6).alias("feat1"),
         )
 
+    def media_decode_wav(spark, sf_dir):
+        """REAL audio decode: deterministic 16-bit PCM WAVs are
+        synthesized per doc (stdlib ``wave`` writer — also a second
+        witness for the RIFF parser), decoded by the pure-numpy
+        ``decode_wav``, and reduced to signal stats the oracle
+        recomputes from the closed-form sample formula."""
+        from memorious_spark.operators.multimodal import (
+            audio_features, extract_features,
+        )
+
+        ship_package(spark)
+        ids = _docs(spark, sf_dir).select("doc_id")
+
+        def synth(batches):
+            import io
+            import wave
+
+            import numpy as np
+            import pandas as pd
+
+            for b in batches:
+                payloads = []
+                for did in b["doc_id"]:
+                    n = 800 + (int(did) % 5) * 40
+                    s = (
+                        (int(did) * 31 + np.arange(n) * 7) % 2001 - 1000
+                    ).astype("<i2")
+                    bio = io.BytesIO()
+                    w = wave.open(bio, "wb")
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(s.tobytes())
+                    w.close()
+                    payloads.append(bio.getvalue())
+                yield pd.DataFrame(
+                    {"doc_id": b["doc_id"], "payload": payloads}
+                )
+
+        media = ids.mapInPandas(synth, "doc_id long, payload binary")
+        feats = extract_features(media, feature_fn=audio_features)
+        return feats.select(
+            "doc_id",
+            F.round(F.element_at("features", 2), 6).alias("duration_s"),
+            F.round(F.element_at("features", 3), 6).alias("rms_norm"),
+            F.round(F.element_at("features", 4), 6).alias("zcr_rate"),
+        )
+
     def meta_dates(spark, sf_dir):
         """The fuzzy parse_date/iso_date kernel (helpers/dates.py:6-31
         stand-in) over four wrapper styles websites use — runs the
@@ -1232,6 +1280,7 @@ pipeline:
         "token_shards": token_shards,
         "quota_sample_lang": quota_sample_lang,
         "warc_roundtrip": warc_roundtrip,
+        "media_decode_wav": media_decode_wav,
         "doc_fingerprint": doc_fingerprint,
         "media_features": media_features,
         "media_decode_bmp": media_decode_bmp,
@@ -1869,6 +1918,33 @@ def oracle_sql() -> dict[str, str]:
         # trip must reproduce
         "warc_roundtrip": """
             SELECT doc_id, md5(text) AS payload_md5 FROM documents
+        """,
+        # closed-form recomputation of the synthesized PCM signal the
+        # Spark side routes through wave-writer -> decode_wav
+        "media_decode_wav": """
+            WITH s AS (
+              SELECT d.doc_id, r.i,
+                     ((d.doc_id * 31 + r.i * 7) % 2001) - 1000 AS v
+              FROM documents d, range(0, 960) AS r(i)
+              WHERE r.i < 800 + (d.doc_id % 5) * 40
+            ),
+            s2 AS (
+              SELECT doc_id, v,
+                     lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+              FROM s
+            ),
+            a AS (
+              SELECT doc_id, count(*) AS n,
+                     sqrt(avg(v::double * v)) AS rms,
+                     sum(CASE WHEN pv IS NOT NULL AND v * pv < 0
+                         THEN 1 ELSE 0 END) AS flips
+              FROM s2 GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   round(n / 8000.0, 6) AS duration_s,
+                   round(rms / 32768.0, 6) AS rms_norm,
+                   round(flips::double / (n - 1), 6) AS zcr_rate
+            FROM a
         """,
         "doc_fingerprint": """
             SELECT doc_id,

