@@ -106,7 +106,7 @@ def quota_sample(
     # exactness check: a pruned group must still hold >= quota rows
     cand_n = cand.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cn"))
     short = (
-        big.join(cand_n, group_col, "left")
+        big.join(F.broadcast(cand_n), group_col, "left")
         .filter(F.coalesce(F.col("_cn"), F.lit(0)) < quota)
         .select(group_col)
         .persist()

@@ -327,3 +327,90 @@ def test_delta_resolution_single_scan_single_shuffle(spark, tmp_path):
     assert plan.count("Scan parquet") == 1, plan[:3000]
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:3000]
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+# ---- round-4 curation operators: scale-posture plan locks ------------------
+
+def _mini_docs(spark, n=60):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared cookie banner\nalpha beta gamma line "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+
+
+def test_token_shards_no_single_partition_window(spark):
+    """The global prefix sum must run as range-shuffle + per-partition
+    windows — NEVER the Exchange SinglePartition plan an unpartitioned
+    window produces (one task for the whole corpus)."""
+    from memorious_spark.operators.packing import pack_token_shards
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("tokens")
+    )
+    out = pack_token_shards(docs, budget=100, num_partitions=8)
+    plan = _plan(out)
+    assert "Window" in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:3000]
+    assert "rangepartitioning" in plan, plan[:2000]
+
+
+def test_strip_boilerplate_broadcast_path_docs_never_shuffle(spark):
+    """Broadcast path: the hot-line set folds to one array row and the
+    rewrite rides the corpus scan — no doc-keyed exchange anywhere.
+    The regroup path (forced) is allowed its one body shuffle, keyed
+    by the doc id."""
+    from memorious_spark.operators.dedup import strip_boilerplate_lines
+
+    docs = _mini_docs(spark)
+    fast = strip_boilerplate_lines(docs, min_docs=2, broadcast_max=10**6)
+    plan_fast = _plan(fast)
+    assert "Exchange hashpartitioning(doc_id" not in plan_fast, plan_fast[:3000]
+    assert "SortMergeJoin" not in plan_fast, plan_fast[:3000]
+    # forced regroup path: bodies go through posexplode + per-doc
+    # regroup instead (its exchange broadcasts away at test scale)
+    slow = strip_boilerplate_lines(docs, min_docs=2, broadcast_max=0)
+    plan_slow = _plan(slow)
+    assert "posexplode" in plan_slow and "collect_list" in plan_slow
+
+
+def test_decontaminate_broadcast_path_corpus_stays_map_side(spark):
+    """Broadcast path: benchmark grams fold to one array row; the
+    corpus side is scan → project (array_intersect), with no
+    corpus-keyed exchange and no sort-merge join."""
+    from memorious_spark.operators.contamination import flag_contaminated
+
+    docs = _mini_docs(spark)
+    bench = docs.limit(5)
+    out = flag_contaminated(docs, bench, n=3, broadcast_max=10**6)
+    plan = _plan(out)
+    assert "Exchange hashpartitioning(doc_id" not in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    # forced join path: grams explode into a semi-join + per-doc
+    # count (its exchanges broadcast away at test scale)
+    joiny = flag_contaminated(docs, bench, n=3, broadcast_max=0)
+    plan_join = _plan(joiny)
+    assert "LeftSemi" in plan_join and "explode" in plan_join
+
+
+def test_quota_sample_window_input_is_pruned(spark):
+    """The row_number window must sit ABOVE the candidate threshold
+    filter (conv(md5) <= _thr), so it only ever sorts ~quota x safety
+    rows per group; group metadata joins broadcast."""
+    from memorious_spark.operators.sampling import quota_sample
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    out = quota_sample(docs, "grp", quota=50)
+    plan = _plan(out)
+    assert "Window" in plan, plan[:2000]
+    assert "_thr" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    # the pruning filter feeds the window, not the other way round:
+    # in the tree printout the Filter on _thr appears among the
+    # window's descendants
+    win_at = plan.index("Window")
+    assert "_thr" in plan[win_at:], plan[win_at:win_at + 2000]
