@@ -28,11 +28,14 @@ from memorious_spark.session import ship_package
 # textops; the DuckDB oracle is generated from the same dict so the
 # two engines can never drift
 from memorious_spark.functions.textops import _LANG_MARKERS as _MARKERS
+from memorious_spark.operators.sampling import split_bounds as _split_bounds
 _STOPWORDS = (" the ", " a ", " and ", " of ", " to ")
 N_PERM, N_BANDS = 16, 4
 KNN_PLANES = 6
 EMB_DIM = 64
 IVF_K, IVF_NPROBE, IVF_SPACING = 8, 2, 37
+SEMDEDUP_THR = 0.35
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 LSH_BANDS, LSH_PPB = 4, 4
 
 
@@ -1221,6 +1224,28 @@ pipeline:
 
         return top_ngram_char_frac(_docs(spark, sf_dir), n=2)
 
+    def semantic_dedup_op(spark, sf_dir):
+        """SemDeDup (Abbas et al. 2023): IVF-cell partition of the
+        embedding space, within-cell cosine dominance — drop a vector
+        when a cell-mate FARTHER from the centroid (the paper's
+        keep-the-outlier rule) is ≥ threshold similar. Sub-quadratic:
+        the O(m²) pair scan runs per cell, never across the corpus."""
+        return dedup.semantic_dedup(
+            _emb(spark, sf_dir), threshold=SEMDEDUP_THR,
+            n_centroids=IVF_K, spacing=IVF_SPACING,
+        )
+
+    def hash_split_op(spark, sf_dir):
+        """Deterministic train/val/test split: md5(doc_id) against
+        fixed hex boundaries — reproducible across engines, stable
+        under corpus growth (no randomSplit reshuffling), leakage-free
+        by construction. Pure projection, no shuffle."""
+        from memorious_spark.operators.sampling import hash_split
+
+        return hash_split(
+            _docs(spark, sf_dir).select("doc_id"), SPLIT_WEIGHTS
+        )
+
     def clean_html_op(spark, sf_dir):
         """Rows-only check: clean_html over corpus pages, new hash."""
         from memorious_spark.operators.parse import clean_html_udf
@@ -1279,6 +1304,8 @@ pipeline:
         "decontaminate": decontaminate,
         "token_shards": token_shards,
         "quota_sample_lang": quota_sample_lang,
+        "semantic_dedup": semantic_dedup_op,
+        "hash_split": hash_split_op,
         "warc_roundtrip": warc_roundtrip,
         "media_decode_wav": media_decode_wav,
         "doc_fingerprint": doc_fingerprint,
@@ -1913,6 +1940,63 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(doc_id::varchar), doc_id) AS rn
               FROM documents
             ) WHERE rn <= 60
+        """,
+        # SemDeDup: same strided seed centroids as the IVF oracle,
+        # then within-cell cosine dominance (farther-from-centroid
+        # wins, ties to the lower id); canonical = highest-priority
+        # dominator, one hop
+        "semantic_dedup": f"""
+            WITH cent AS (
+              SELECT CAST(vec_id / {IVF_SPACING} AS INT) AS cid,
+                     embedding AS cv
+              FROM embeddings
+              WHERE vec_id % {IVF_SPACING} = 0
+                AND vec_id < {IVF_K * IVF_SPACING}
+            ),
+            assign AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     {_F64_DIST2.format(a='e.embedding', b='c.cv', dim=EMB_DIM)} AS d2,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_F64_DIST2.format(a='e.embedding', b='c.cv', dim=EMB_DIM)}, c.cid
+                     ) AS rn
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            a AS (SELECT vec_id, embedding, cid, d2 FROM assign WHERE rn = 1),
+            dom AS (
+              SELECT r.vec_id, l.vec_id AS dom_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY r.vec_id
+                       ORDER BY l.d2 DESC, l.vec_id
+                     ) AS rk
+              FROM a l JOIN a r
+                ON l.cid = r.cid
+               AND (l.d2 > r.d2 OR (l.d2 = r.d2 AND l.vec_id < r.vec_id))
+               AND round({_cosine_sql('l.embedding', 'r.embedding')}, 6)
+                   >= {SEMDEDUP_THR}
+            ),
+            d1 AS (SELECT vec_id, dom_id FROM dom WHERE rk = 1)
+            SELECT a.vec_id, a.cid AS cell,
+                   coalesce(d1.dom_id, a.vec_id) AS canonical_id,
+                   CASE WHEN d1.dom_id IS NULL THEN 'kept'
+                        ELSE 'semantic' END AS reason
+            FROM a LEFT JOIN d1 USING (vec_id)
+        """,
+        # hash split: identical md5-prefix string compare against the
+        # SAME hex boundary literals the Spark op embeds (split_bounds
+        # is the single source of the float arithmetic)
+        "hash_split": f"""
+            SELECT doc_id,
+                   CASE
+                     WHEN substr(md5(doc_id::varchar), 1, 15)
+                          < '{_split_bounds(SPLIT_WEIGHTS)[0]}'
+                       THEN 'train'
+                     WHEN substr(md5(doc_id::varchar), 1, 15)
+                          < '{_split_bounds(SPLIT_WEIGHTS)[1]}'
+                       THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
         """,
         # byte-exact archival: md5 of the utf-8 payload the WARC round
         # trip must reproduce

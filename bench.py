@@ -231,6 +231,16 @@ def run_worker(
                 privacy.pii_scrub(F.col("text")).alias("s")
             ).agg(F.sum(F.length("s"))).collect()
         ),
+        "semantic_dedup": timed(
+            lambda: dedup.semantic_dedup(emb, threshold=0.35)
+            .filter("reason = 'semantic'").count()
+        ),
+        "hash_split": timed(
+            lambda: sampling.hash_split(
+                docs.select("doc_id"),
+                {"train": 0.9, "val": 0.05, "test": 0.05},
+            ).groupBy("split").count().collect()
+        ),
     }
     if not skip_queries:
         emb.unpersist()

@@ -44,6 +44,7 @@ __all__ = [
     "corpus_dedup",
     "curate_corpus",
     "strip_boilerplate_lines",
+    "semantic_dedup",
 ]
 
 
@@ -914,4 +915,156 @@ def embedding_dup_pairs_lsh(
         )
         .filter(F.col("cosine") >= threshold)
         .distinct()
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    n_centroids: int = 8,
+    spacing: int = 37,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into K cells with
+    a coarse quantizer, then drop near-duplicates WITHIN each cell —
+    the sub-quadratic trick is that the O(m²) pair scan runs per cell
+    (m ≈ n/K), never across the corpus.
+
+    Keep rule (deterministic, no RNG): within a cell, vectors are
+    ranked by priority = (distance² to the cell centroid DESC,
+    id ASC) — the paper keeps the example LEAST like the cluster
+    center. A vector is dropped iff some higher-priority cell-mate has
+    cosine ≥ ``threshold`` with it; its ``canonical_id`` is the
+    highest-priority such dominator (one hop — chains are not chased;
+    for transitive canonical resolution compose with
+    :func:`dedup_components` the way :func:`corpus_dedup` does).
+    Identical vectors that land in different cells are NOT compared —
+    the known SemDeDup blind spot; run :func:`exact_dedup` first.
+
+    Returns ``(id_col, cell int, canonical_id, reason ∈
+    kept|semantic)`` — one row per input vector.
+
+    Scale posture: centroid assignment auto-routes by K exactly like
+    the IVF ANN family (literal Column ≤ 16 centroids, Arrow-batched
+    numpy matmul beyond — K ≈ 10³-10⁵ at 100 TB). The within-cell
+    pair scan joins on ``(cell, block-row, block-col)`` — the same
+    block-grid as :func:`embedding_dup_pairs`, nested inside the cell
+    — so a fat cell splits into B² balanced join buckets instead of
+    one task (keying on ``cell`` alone put the whole corpus on K
+    tasks: unusable when K < cores, a skew cliff when a cell runs
+    hot). Roles are assigned AFTER the join (block position, not
+    priority, decides which side a row enters on): each unordered
+    pair meets exactly once, then a conditional select routes the
+    higher-priority member to the dominator role. d2 is always
+    computed with the JVM-side ``_dist2`` (broadcast centroid join on
+    the UDF path), so the priority order is engine-reproducible
+    bit-for-bit.
+    """
+    from memorious_spark.operators.similarity import (
+        _IVF_LITERAL_MAX_K,
+        _dist2,
+        ivf_assign_udf,
+        ivf_seed_centroids,
+    )
+
+    cents = centroids or ivf_seed_centroids(
+        emb, n_centroids, spacing, id_col, vec_col
+    )
+    # respread a few-partition input BEFORE the CPU-heavy assignment
+    # and pair stages: a small parquet arrives as one split, the tiny
+    # right side then broadcasts, and the whole interpreted-cosine
+    # pair scan would run narrow on a single core
+    base = ensure_parallelism(emb).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    if len(cents) <= _IVF_LITERAL_MAX_K:
+        dists = F.array(
+            *[
+                _dist2(F.col("v"), F.array(*[F.lit(float(x)) for x in c]))
+                for _cid, c in cents
+            ]
+        )
+        assigned = base.select(
+            "id", "v", "nrm",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int").alias("cell"),
+            F.array_min(dists).alias("d2"),
+        )
+    else:
+        spark = emb.sparkSession
+        cents_df = spark.createDataFrame(
+            [(cid, [float(x) for x in c]) for cid, c in cents],
+            "cell int, centroid array<double>",
+        )
+        assigned = (
+            base.withColumn("cell", ivf_assign_udf(cents)(F.col("v")))
+            .join(F.broadcast(cents_df), "cell")
+            .select(
+                "id", "v", "nrm", "cell",
+                _dist2(F.col("v"), F.col("centroid")).alias("d2"),
+            )
+        )
+    assigned = assigned.withColumn(
+        "b", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    ).persist()
+
+    # block-grid within the cell (embedding_dup_pairs' meeting rule,
+    # keyed (cell, p, q)): a cross-block pair meets once with its
+    # min-block row on the left; same-block pairs are id-ordered
+    l = assigned.withColumn(
+        "q", F.explode(F.sequence(F.col("b"), F.lit(n_blocks - 1)))
+    ).select(
+        F.col("id").alias("id_l"), F.col("v").alias("v_l"),
+        F.col("nrm").alias("nrm_l"), F.col("d2").alias("d2_l"),
+        "cell", F.col("b").alias("p"), "q",
+    )
+    r = assigned.withColumn(
+        "p", F.explode(F.sequence(F.lit(0), F.col("b")))
+    ).select(
+        F.col("id").alias("id_r"), F.col("v").alias("v_r"),
+        F.col("nrm").alias("nrm_r"), F.col("d2").alias("d2_r"),
+        "cell", "p", F.col("b").alias("q"),
+    )
+    cos = _dot(F.col("v_l"), F.col("v_r")) / (F.col("nrm_l") * F.col("nrm_r"))
+    # dominance is a strict total order, so every distinct pair has
+    # exactly one dominator — roles are decided AFTER the join
+    l_dom = (F.col("d2_l") > F.col("d2_r")) | (
+        (F.col("d2_l") == F.col("d2_r")) & (F.col("id_l") < F.col("id_r"))
+    )
+    dropped = (
+        l.join(r, ["cell", "p", "q"])
+        .filter((F.col("p") != F.col("q")) | (F.col("id_l") < F.col("id_r")))
+        # round-6 before the threshold compare: the engine-parity
+        # convention of the whole embedding family (a raw-double
+        # boundary compare is the one place two engines may disagree)
+        .filter(F.round(cos, 6) >= F.lit(threshold))
+        .select(
+            F.when(l_dom, F.col("id_r")).otherwise(F.col("id_l")).alias("id"),
+            F.when(l_dom, F.col("id_l")).otherwise(F.col("id_r"))
+            .alias("dom_id"),
+            F.when(l_dom, F.col("d2_l")).otherwise(F.col("d2_r"))
+            .alias("dom_d2"),
+        )
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.col("dom_id"), F.struct(F.col("dom_d2"), -F.col("dom_id"))
+            ).alias("dom_id")
+        )
+    )
+    return (
+        assigned.join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.coalesce(F.col("dom_id"), F.col("id")).alias("canonical_id"),
+            F.when(F.col("dom_id").isNull(), F.lit("kept"))
+            .otherwise(F.lit("semantic")).alias("reason"),
+        )
     )

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["quota_sample", "sample_key"]
+__all__ = ["quota_sample", "sample_key", "hash_split", "split_bounds"]
 
 
 def sample_key(id_col: str) -> F.Column:
@@ -135,3 +135,54 @@ def quota_sample(
         stats["groups_pruned"] = big.count() - n_short
         stats["groups_fallback"] = n_short
     return out
+
+
+def split_bounds(weights: dict[str, float]) -> list[str]:
+    """The 15-hex-char cumulative boundaries ``hash_split`` compares
+    against — exposed so an external twin (e.g. a SQL oracle) can
+    embed bit-identical literals instead of re-deriving them with
+    subtly different float arithmetic."""
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    for name, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"split {name!r} weight must be positive, got {w}")
+    total = float(sum(weights.values()))
+    bounds = []
+    acc = 0.0
+    for name in list(weights)[:-1]:
+        acc += weights[name] / total
+        bounds.append(format(int(acc * 16**15), "015x"))
+    return bounds
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is a
+    pure function of its id (``md5(cast(id AS string))`` against fixed
+    hex boundaries), so the partition is REPRODUCIBLE across runs and
+    engines, stable under corpus growth (adding documents never moves
+    an existing one between splits — the property a random ``df.
+    randomSplit`` lacks), and leakage-free by construction (an id is
+    in exactly one split). Expected proportions follow from md5
+    uniformity; per-stratum exactness is :func:`quota_sample`'s job.
+
+    ``weights`` maps split name → positive weight (normalized;
+    insertion order fixes the boundary layout, so pass the same dict
+    order for the same assignment). Purely a projection — no shuffle,
+    no UDF, rides whatever scan it is composed onto.
+    """
+    # cumulative boundaries as 15-hex-char literals: md5-prefix string
+    # order == numeric order (0-9a-f are ASCII-ascending), so the
+    # comparison stays a plain string compare in any engine
+    names = list(weights)
+    bounds = split_bounds(weights)
+    key = F.substring(sample_key(id_col), 1, 15)
+    expr = F.lit(names[-1])
+    for name, b in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(key < F.lit(b), F.lit(name)).otherwise(expr)
+    return docs.withColumn(split_col, expr)

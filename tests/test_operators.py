@@ -1134,3 +1134,115 @@ def test_decode_wav_real_signal_stats(spark):
     g = audio_features(b"plain bytes, not audio")
     assert g[7] != 1.0 or g == audio_features(b"plain bytes, not audio")
     assert len(g) == 8
+
+
+def test_semantic_dedup_fixture_semantics(spark):
+    """Hand-checkable SemDeDup: two cells, known priorities
+    (distance² to centroid DESC, id ASC), known cosines — the
+    manifest must drop exactly the dominated vectors and point each
+    at its highest-priority dominator."""
+    from memorious_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # cell 0 centroid; dominated by 1 and 5
+        (1, [0.99, 0.1, 0.0, 0.0]),   # farthest from centroid in cell 0 → kept
+        (2, [0.0, 1.0, 0.0, 0.0]),    # cell 1 centroid; dominated by 3
+        (3, [0.0, 0.98, 0.2, 0.0]),   # kept
+        (4, [0.0, 0.0, 1.0, 0.0]),    # equidistant → cell 0, nothing similar
+        (5, [1.0, 0.02, 0.0, 0.0]),   # dominated by 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: (r.cell, r.canonical_id, r.reason)
+        for r in semantic_dedup(
+            emb, threshold=0.95, n_centroids=2, spacing=2
+        ).collect()
+    }
+    assert got == {
+        0: (0, 1, "semantic"),
+        1: (0, 1, "kept"),
+        2: (1, 3, "semantic"),
+        3: (1, 3, "kept"),
+        4: (0, 4, "kept"),
+        5: (0, 1, "semantic"),
+    }
+
+
+def test_semantic_dedup_assignment_paths_agree(spark, monkeypatch):
+    """The literal-Column and Arrow-UDF centroid assignments must
+    produce the SAME manifest for the same centroids (K=18 is past
+    the literal ceiling; forcing the ceiling up runs the literal
+    path on identical inputs)."""
+    from memorious_spark.operators import similarity
+    from memorious_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.ivf_seed_centroids(emb, 18, 23)
+
+    udf_rows = sorted(
+        map(tuple, semantic_dedup(emb, threshold=0.4, centroids=cents).collect())
+    )
+    monkeypatch.setattr(similarity, "_IVF_LITERAL_MAX_K", 99)
+    lit_rows = sorted(
+        map(tuple, semantic_dedup(emb, threshold=0.4, centroids=cents).collect())
+    )
+    assert udf_rows == lit_rows
+    assert any(r[3] == "semantic" for r in udf_rows)  # non-vacuous
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    """Assignments equal an independent md5 recomputation, never move
+    when the corpus grows, and cover each split at the expected
+    rate; bad weights fail loud."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from memorious_spark.operators.sampling import hash_split, split_bounds
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    got = {r.doc_id: r.split for r in hash_split(docs, w).collect()}
+
+    b = split_bounds(w)
+    for did, split in list(got.items())[:200]:
+        key = hashlib.md5(str(did).encode()).hexdigest()[:15]
+        want = "train" if key < b[0] else ("val" if key < b[1] else "test")
+        assert split == want, (did, split, want)
+
+    # growth stability: the 2000-doc assignment restricted to the
+    # first 100 ids equals the 100-doc assignment
+    small = {
+        r.doc_id: r.split
+        for r in hash_split(
+            spark.range(100).select(F.col("id").alias("doc_id")), w
+        ).collect()
+    }
+    assert small == {k: v for k, v in got.items() if k < 100}
+
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert 0.75 < c["train"] / 2000 < 0.85 and c["val"] > 0 and c["test"] > 0
+
+    with _pytest.raises(ValueError):
+        hash_split(docs, {})
+    with _pytest.raises(ValueError):
+        hash_split(docs, {"a": 1.0, "b": -0.1})
+
+
+def test_hash_split_is_pure_projection(spark):
+    """Scale posture: the split column is a scan-riding projection —
+    no Exchange, no Window, no UDF in the plan."""
+    from memorious_spark.operators.sampling import hash_split
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    plan = hash_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Window" not in plan and "Python" not in plan, plan[:2000]
