@@ -36,6 +36,7 @@ EMB_DIM = 64
 IVF_K, IVF_NPROBE, IVF_SPACING = 8, 2, 37
 SEMDEDUP_THR = 0.35
 SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+DSIR_BUCKETS = 8192
 LSH_BANDS, LSH_PPB = 4, 4
 
 
@@ -1246,6 +1247,19 @@ pipeline:
             _docs(spark, sf_dir).select("doc_id"), SPLIT_WEIGHTS
         )
 
+    def dsir_weights(spark, sf_dir):
+        """DSIR importance weights (Xie et al. 2023): hashed
+        unigram+bigram log-likelihood ratio of every document against
+        a target sample (every 20th doc), md5-bucketed so both
+        engines hash identically, per-feature log-ratios quantized to
+        DECIMAL(18,6) so the per-doc sum is aggregation-order-exact."""
+        from memorious_spark.operators.selection import importance_weights
+
+        docs = _docs(spark, sf_dir)
+        return importance_weights(
+            docs, docs.filter("doc_id % 20 = 0"), n_buckets=DSIR_BUCKETS
+        )
+
     def clean_html_op(spark, sf_dir):
         """Rows-only check: clean_html over corpus pages, new hash."""
         from memorious_spark.operators.parse import clean_html_udf
@@ -1306,6 +1320,7 @@ pipeline:
         "quota_sample_lang": quota_sample_lang,
         "semantic_dedup": semantic_dedup_op,
         "hash_split": hash_split_op,
+        "dsir_weights": dsir_weights,
         "warc_roundtrip": warc_roundtrip,
         "media_decode_wav": media_decode_wav,
         "doc_fingerprint": doc_fingerprint,
@@ -1997,6 +2012,44 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'test'
                    END AS split
             FROM documents
+        """,
+        # DSIR: same md5 feature buckets, same all-integer ratio
+        # inside one ln, same DECIMAL(18,6) order-exact sum
+        "dsir_weights": f"""
+            WITH tok AS (
+              SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, unnest(toks) AS f FROM tok
+              UNION ALL
+              SELECT doc_id, toks[j] || ' ' || toks[j+1] AS f
+              FROM tok,
+                   LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(j)
+            ),
+            fb AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(f), 1, 8))::BIGINT % {DSIR_BUCKETS}
+                       AS bucket
+              FROM feats
+            ),
+            p AS (SELECT bucket, count(*) AS cc FROM fb GROUP BY bucket),
+            q AS (SELECT bucket, count(*) AS ct FROM fb
+                  WHERE doc_id % 20 = 0 GROUP BY bucket),
+            tot AS (SELECT (SELECT coalesce(sum(cc), 0) FROM p) AS Tc,
+                           (SELECT coalesce(sum(ct), 0) FROM q) AS Tt),
+            ratios AS (
+              SELECT coalesce(p.bucket, q.bucket) AS bucket,
+                     CAST(round(ln(
+                       ((coalesce(ct, 0) + 1) * (Tc + {DSIR_BUCKETS}))::DOUBLE
+                       / ((coalesce(cc, 0) + 1) * (Tt + {DSIR_BUCKETS}))::DOUBLE
+                     ), 6) AS DECIMAL(18,6)) AS logr
+              FROM p FULL OUTER JOIN q ON p.bucket = q.bucket, tot
+            )
+            SELECT fb.doc_id,
+                   CAST(coalesce(sum(logr), 0) AS DOUBLE) AS logw
+            FROM fb LEFT JOIN ratios USING (bucket)
+            GROUP BY fb.doc_id
         """,
         # byte-exact archival: md5 of the utf-8 payload the WARC round
         # trip must reproduce

@@ -121,7 +121,9 @@ def run_worker(
     from memorious_spark.session import get_spark
     from memorious_spark.sources.corpus import build_corpus
     from memorious_spark.functions import privacy, quality, textops
-    from memorious_spark.operators import contamination, packing, sampling
+    from memorious_spark.operators import (
+        contamination, packing, sampling, selection,
+    )
 
     spark = get_spark(master=f"local[{cpus}]", app_name=f"bench-{cpus}",
                       shuffle_partitions=cpus)
@@ -240,6 +242,11 @@ def run_worker(
                 docs.select("doc_id"),
                 {"train": 0.9, "val": 0.05, "test": 0.05},
             ).groupBy("split").count().collect()
+        ),
+        "dsir_weights": timed(
+            lambda: selection.importance_weights(
+                docs, docs.filter(F.col("doc_id") % 20 == 0)
+            ).agg(F.avg("logw")).collect()
         ),
     }
     if not skip_queries:

@@ -1246,3 +1246,91 @@ def test_hash_split_is_pure_projection(spark):
     )
     assert "Exchange" not in plan, plan[:2000]
     assert "Window" not in plan and "Python" not in plan, plan[:2000]
+
+
+def test_dsir_weights_hand_math_and_select(spark):
+    """DSIR on a 3-doc corpus with a 1-doc target: the target-like
+    document must out-weigh the off-distribution one, dsir_select
+    keeps the top-k by (logw DESC, id), and weights recompute exactly
+    from the published formula (add-one smoothing over B buckets,
+    per-feature round-6 quantization)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from memorious_spark.operators.selection import (
+        dsir_select,
+        importance_weights,
+    )
+
+    B = 64
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat"),
+        (2, "zebra quagga okapi tapir"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id = 0")
+    got = {
+        r.doc_id: r.logw
+        for r in importance_weights(docs, target, n_buckets=B).collect()
+    }
+
+    def feats(t):
+        toks = t.lower().strip().split(" ")
+        return toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+
+    cc = Counter(bucket(f) for _, t in rows for f in feats(t))
+    ct = Counter(bucket(f) for _, t in rows[:1] for f in feats(t))
+    Tc, Tt = sum(cc.values()), sum(ct.values())
+    want = {
+        did: float(
+            sum(
+                round(
+                    math.log(
+                        ((ct.get(bucket(f), 0) + 1) * (Tc + B))
+                        / ((cc.get(bucket(f), 0) + 1) * (Tt + B))
+                    ),
+                    6,
+                )
+                for f in feats(t)
+            )
+        )
+        for did, t in rows
+    }
+    assert {k: round(v, 6) for k, v in got.items()} == {
+        k: round(v, 6) for k, v in want.items()
+    }
+    assert got[0] > got[2] and got[1] > got[2]
+
+    kept = sorted(
+        r.doc_id for r in dsir_select(docs, target, 2, n_buckets=B).collect()
+    )
+    assert kept == [0, 1]
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    """Scale posture: the per-feature scoring join must broadcast the
+    (≤ n_buckets)-row ratio table — the corpus side never shuffles on
+    the bucket key."""
+    from memorious_spark.operators.selection import importance_weights
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta "), F.col("id").cast("string")).alias("text"),
+    )
+    w = importance_weights(docs, docs.limit(5), n_buckets=128)
+    plan = w._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    assert "Exchange hashpartitioning(bucket" not in plan.split(
+        "BroadcastHashJoin", 1
+    )[0], plan[:3000]
