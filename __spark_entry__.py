@@ -37,6 +37,7 @@ IVF_K, IVF_NPROBE, IVF_SPACING = 8, 2, 37
 SEMDEDUP_THR = 0.35
 SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 DSIR_BUCKETS = 8192
+SPAN_K = 5
 LSH_BANDS, LSH_PPB = 4, 4
 
 
@@ -1260,6 +1261,13 @@ pipeline:
             docs, docs.filter("doc_id % 20 = 0"), n_buckets=DSIR_BUCKETS
         )
 
+    def span_dup_frac(spark, sf_dir):
+        """Exact-substring dedup signal (Lee et al. 2021): per doc,
+        the multiplicity-weighted fraction of its k-token windows
+        occurring verbatim in ≥1 other document — catches assembled/
+        mirrored text that whole-doc MinHash misses."""
+        return dedup.duplicate_span_fraction(_docs(spark, sf_dir), k=SPAN_K)
+
     def clean_html_op(spark, sf_dir):
         """Rows-only check: clean_html over corpus pages, new hash."""
         from memorious_spark.operators.parse import clean_html_udf
@@ -1321,6 +1329,7 @@ pipeline:
         "semantic_dedup": semantic_dedup_op,
         "hash_split": hash_split_op,
         "dsir_weights": dsir_weights,
+        "span_dup_frac": span_dup_frac,
         "warc_roundtrip": warc_roundtrip,
         "media_decode_wav": media_decode_wav,
         "doc_fingerprint": doc_fingerprint,
@@ -2050,6 +2059,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(logr), 0) AS DOUBLE) AS logw
             FROM fb LEFT JOIN ratios USING (bucket)
             GROUP BY fb.doc_id
+        """,
+        # exact-substring signal: same truncating k-window convention
+        # as textops.shingles; df = distinct docs per window hash; the
+        # 0/1 avg is an integer sum in double, so order-exact
+        "span_dup_frac": f"""
+            WITH tok AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS toks
+              FROM documents
+            ),
+            sp AS (
+              SELECT doc_id,
+                     md5(array_to_string(
+                       list_slice(toks, j, j + {SPAN_K - 1}), ' ')) AS h
+              FROM tok, LATERAL unnest(
+                generate_series(1, greatest(len(toks) - {SPAN_K - 1}, 1))
+              ) AS u(j)
+            ),
+            dfq AS (
+              SELECT h, count(DISTINCT doc_id) AS df FROM sp GROUP BY h
+            )
+            SELECT sp.doc_id, count(*) AS n_spans,
+                   round(avg(CASE WHEN df >= 2 THEN 1.0::DOUBLE
+                             ELSE 0.0::DOUBLE END), 6) AS dup_frac
+            FROM sp JOIN dfq USING (h)
+            GROUP BY sp.doc_id
         """,
         # byte-exact archival: md5 of the utf-8 payload the WARC round
         # trip must reproduce

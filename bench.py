@@ -248,6 +248,10 @@ def run_worker(
                 docs, docs.filter(F.col("doc_id") % 20 == 0)
             ).agg(F.avg("logw")).collect()
         ),
+        "span_dup_frac": timed(
+            lambda: dedup.duplicate_span_fraction(docs, k=5)
+            .agg(F.avg("dup_frac")).collect()
+        ),
     }
     if not skip_queries:
         emb.unpersist()

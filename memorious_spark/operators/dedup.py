@@ -45,6 +45,7 @@ __all__ = [
     "curate_corpus",
     "strip_boilerplate_lines",
     "semantic_dedup",
+    "duplicate_span_fraction",
 ]
 
 
@@ -1067,4 +1068,61 @@ def semantic_dedup(
             F.when(F.col("dom_id").isNull(), F.lit("kept"))
             .otherwise(F.lit("semantic")).alias("reason"),
         )
+    )
+
+
+def duplicate_span_fraction(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-span fraction — the practical form of
+    exact-substring deduplication (Lee et al. 2021, arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the fraction of its k-token windows that occur
+    verbatim in at least one OTHER document. A high fraction means the
+    document is largely assembled from text that exists elsewhere in
+    the corpus (mirrors, quotations, licence blocks) even when no
+    single whole-document near-dup pair fires — the gap MinHash and
+    exact dedup both miss. Filter on the returned ``dup_frac`` (the
+    paper removes the spans; flagging the document is the Dolma-style
+    batch variant).
+
+    Returns ``(id_col, n_spans, dup_frac double)`` — one row per
+    document; ``dup_frac`` counts window occurrences WITH multiplicity
+    (a document that repeats a shared span twice has both windows
+    flagged). Windows use the corpus-wide shingle convention
+    (``split(trim(text), ' ')``, texts shorter than k yield one
+    truncated window), so the DuckDB twin is exact.
+
+    Scale posture: this is the method whose exact form needs a suffix
+    array on one machine — here it is two shuffles, both keyed by the
+    span hash: (1) distinct (doc, span) → groupBy span counting
+    DISTINCT docs (map-side combined; the hash key is md5 so skew is
+    data-borne repetition itself, which is precisely what AQE's skew
+    split absorbs), (2) the multiplicity-carrying window stream joins
+    that document-frequency table on the span hash. Volume is
+    O(total tokens) rows of slim (hash, id) pairs — inherent to
+    substring-level dedup at any engine; nothing is driver-side.
+    """
+    spans = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), k)).alias("s"),
+    ).select("id", F.md5(F.col("s")).alias("h"))
+    df_tbl = (
+        spans.distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        spans.join(df_tbl, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.round(
+                F.avg(F.when(F.col("df") >= 2, 1.0).otherwise(0.0)), 6
+            ).alias("dup_frac"),
+        )
+        .select(F.col("id").alias(id_col), "n_spans", "dup_frac")
     )

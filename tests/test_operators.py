@@ -1334,3 +1334,28 @@ def test_dsir_ratio_table_broadcasts(spark):
     assert "Exchange hashpartitioning(bucket" not in plan.split(
         "BroadcastHashJoin", 1
     )[0], plan[:3000]
+
+
+def test_duplicate_span_fraction_hand_counts(spark):
+    """4 docs, k=3: doc 0 and 1 share one verbatim 3-token window;
+    doc 2 repeats that window twice (multiplicity counts both); doc 3
+    shares nothing. Window counts and fractions are hand-derived."""
+    from memorious_spark.operators.dedup import duplicate_span_fraction
+
+    rows = [
+        (0, "the quick brown fox jumps"),        # 3 windows, 1 dup
+        (1, "a lazy the quick brown dog"),       # 4 windows, 1 dup
+        (2, "the quick brown x the quick brown"),  # 5 windows, 2 dup
+        (3, "entirely unrelated words here"),    # 2 windows, 0 dup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.dup_frac)
+        for r in duplicate_span_fraction(docs, k=3).collect()
+    }
+    assert got == {
+        0: (3, round(1 / 3, 6)),
+        1: (4, 0.25),
+        2: (5, 0.4),
+        3: (2, 0.0),
+    }
