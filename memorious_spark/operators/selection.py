@@ -98,7 +98,24 @@ def importance_weights(
     numerator and denominator, one division, one ln, rounded to 6 and
     summed as DECIMAL (see module docstring).
     """
-    p = _bucket_counts(docs, text_col, n_buckets)
+    # ONE feature explode feeds both the corpus distribution and the
+    # per-doc scoring join (persisted: the tokenize+bigram+md5 pass is
+    # the dominant cost, and the slim (id, bucket) pairs are ~12 B/row
+    # serialized — cheaper to keep than to recompute even at corpus
+    # scale; spills to disk past memory)
+    per_feat = docs.select(
+        F.col(id_col),
+        F.explode_outer(_features(F.col(text_col))).alias("_f"),
+    ).select(
+        id_col, feature_bucket_col(F.col("_f"), n_buckets).alias("bucket")
+    ).persist()
+    # (the explode is _outer_ so a null-text doc still gets a row —
+    # its NULL bucket must not leak a pseudo-count into p)
+    p = (
+        per_feat.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     q = _bucket_counts(target, text_col, n_buckets)
     totals = (
         p.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("Tc"))
@@ -126,12 +143,6 @@ def importance_weights(
                 6,
             ).cast("decimal(18,6)").alias("logr"),
         )
-    )
-    per_feat = docs.select(
-        F.col(id_col),
-        F.explode_outer(_features(F.col(text_col))).alias("_f"),
-    ).select(
-        id_col, feature_bucket_col(F.col("_f"), n_buckets).alias("bucket")
     )
     return (
         per_feat.join(F.broadcast(ratios), "bucket", "left")
