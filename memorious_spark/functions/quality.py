@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from memorious_spark.functions.hof import bind_once
+
 __all__ = [
     "word_metrics",
     "line_metrics",
@@ -41,18 +43,11 @@ def _words(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def word_metrics(text: Column) -> dict[str, Column]:
-    """Gopher word-level metrics as named pure-Column expressions:
-
-    - ``n_words`` — whitespace token count
-    - ``mean_word_len`` — mean characters per word
-    - ``frac_alpha_words`` — fraction of words with ≥1 ASCII letter
-    - ``symbol_word_ratio`` — ('#' + '...') occurrences per word
-    - ``stop_hits`` — how many of the 8 Gopher stopwords appear
-
-    Returned as a dict so callers select only what they need (unused
-    metrics are pruned by Catalyst, not computed)."""
-    w = _words(text)
+def _word_metrics_of(text: Column, w: Column) -> dict[str, Column]:
+    """Word metrics from an already-BOUND token array ``w`` (a lambda
+    variable, not an inline split — see :func:`hof.bind_once`: HOF
+    lambdas are interpreted with no CSE, so an inlined split re-runs
+    at every reference, 9× in ``stop_hits`` alone)."""
     n = F.size(w).cast("long")
     nd = n.cast("double")
     sum_len = F.aggregate(
@@ -78,16 +73,40 @@ def word_metrics(text: Column) -> dict[str, Column]:
     }
 
 
-def line_metrics(text: Column) -> dict[str, Column]:
-    """Gopher line-level metrics over '\\n'-separated text:
+def word_metrics(text: Column) -> dict[str, Column]:
+    """Gopher word-level metrics as named pure-Column expressions:
 
-    - ``frac_bullet_lines`` — lines starting with a bullet marker
-    - ``frac_ellipsis_lines`` — lines ending in an ellipsis
-    - ``dup_line_char_frac`` — fraction of characters sitting in
-      REPEAT occurrences of a line (`sum(len) - sum(len distinct)`
-      over `sum(len)`) — the cheap duplicate-line repetition signal
-    """
-    lines = F.split(text, "\n")
+    - ``n_words`` — whitespace token count
+    - ``mean_word_len`` — mean characters per word
+    - ``frac_alpha_words`` — fraction of words with ≥1 ASCII letter
+    - ``symbol_word_ratio`` — ('#' + '...') occurrences per word
+    - ``stop_hits`` — how many of the 8 Gopher stopwords appear
+
+    Returned as a dict so callers select only what they need (unused
+    metrics are pruned by Catalyst, not computed). Each metric binds
+    the token array once; for the all-metrics conjunction use
+    :func:`gopher_keep`, which shares ONE bind across all eight."""
+    def _metric(k: str) -> Column:
+        # closure, NOT a `k=k` default arg: a second lambda parameter
+        # changes the HOF arity to (value, index) and `k` would
+        # receive the element index as a Column
+        return bind_once(_words(text), lambda w: _word_metrics_of(text, w)[k])
+
+    return {
+        k: _metric(k)
+        for k in (
+            "n_words",
+            "mean_word_len",
+            "frac_alpha_words",
+            "symbol_word_ratio",
+            "stop_hits",
+        )
+    }
+
+
+def _line_metrics_of(lines: Column) -> dict[str, Column]:
+    """Line metrics from an already-bound line array (same no-CSE
+    rationale as :func:`_word_metrics_of`)."""
     n = F.size(lines).cast("double")
     n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
     n_ell = F.size(
@@ -111,6 +130,29 @@ def line_metrics(text: Column) -> dict[str, Column]:
     }
 
 
+def line_metrics(text: Column) -> dict[str, Column]:
+    """Gopher line-level metrics over '\\n'-separated text:
+
+    - ``frac_bullet_lines`` — lines starting with a bullet marker
+    - ``frac_ellipsis_lines`` — lines ending in an ellipsis
+    - ``dup_line_char_frac`` — fraction of characters sitting in
+      REPEAT occurrences of a line (`sum(len) - sum(len distinct)`
+      over `sum(len)`) — the cheap duplicate-line repetition signal
+    """
+    def _metric(k: str) -> Column:
+        # closure, not a `k=k` default: see word_metrics
+        return bind_once(F.split(text, "\n"), lambda lines: _line_metrics_of(lines)[k])
+
+    return {
+        k: _metric(k)
+        for k in (
+            "frac_bullet_lines",
+            "frac_ellipsis_lines",
+            "dup_line_char_frac",
+        )
+    }
+
+
 def gopher_keep(
     text: Column,
     min_words: int = 50,
@@ -126,19 +168,31 @@ def gopher_keep(
 ) -> Column:
     """The conjunction of the Gopher quality rules as ONE boolean
     Column (defaults = the paper's thresholds; loosen ``min_words``
-    for short-document corpora). Still a single codegen'd expression
-    — a full-corpus quality gate is one scan, no shuffle."""
-    wm = word_metrics(text)
-    lm = line_metrics(text)
-    return (
-        wm["n_words"].between(min_words, max_words)
-        & wm["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
-        & (wm["symbol_word_ratio"] <= max_symbol_word_ratio)
-        & (wm["frac_alpha_words"] >= min_frac_alpha_words)
-        & (wm["stop_hits"] >= min_stop_hits)
-        & (lm["frac_bullet_lines"] <= max_bullet_frac)
-        & (lm["frac_ellipsis_lines"] <= max_ellipsis_frac)
-        & (lm["dup_line_char_frac"] <= max_dup_line_char_frac)
+    for short-document corpora). A full-corpus quality gate is one
+    scan, no shuffle; the token and line arrays are each computed
+    exactly once per row (one shared bind across all eight rules)."""
+
+    def keep(s: Column) -> Column:
+        wm = _word_metrics_of(text, s["w"])
+        lm = _line_metrics_of(s["l"])
+        return (
+            wm["n_words"].between(min_words, max_words)
+            & wm["mean_word_len"].between(
+                min_mean_word_len, max_mean_word_len
+            )
+            & (wm["symbol_word_ratio"] <= max_symbol_word_ratio)
+            & (wm["frac_alpha_words"] >= min_frac_alpha_words)
+            & (wm["stop_hits"] >= min_stop_hits)
+            & (lm["frac_bullet_lines"] <= max_bullet_frac)
+            & (lm["frac_ellipsis_lines"] <= max_ellipsis_frac)
+            & (lm["dup_line_char_frac"] <= max_dup_line_char_frac)
+        )
+
+    return bind_once(
+        F.struct(
+            _words(text).alias("w"), F.split(text, "\n").alias("l")
+        ),
+        keep,
     )
 
 
@@ -182,18 +236,23 @@ def top_ngram_char_frac(
     keyed on (doc, gram) — map-side combined, no hot keys — + one
     per-doc max. Ties break to the lexicographically largest gram
     (max over (count, gram) structs), pinned so the SQL twin agrees."""
-    w = _words(F.col(text_col))
-    # sequence(0, -1) DESCENDS in Spark — an under-n-words doc must
-    # produce an empty index array, not [0, -1]
-    idx = F.when(
-        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
-    ).otherwise(F.array().cast("array<int>"))
+
+    def gram_arr(w: Column) -> Column:
+        # sequence(0, -1) DESCENDS in Spark — an under-n-words doc
+        # must produce an empty index array, not [0, -1]
+        idx = F.when(
+            F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))
+        )
+
     grams = docs.select(
         F.col(id_col),
         F.length(text_col).alias("_tlen"),
-        F.explode(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
-        ).alias("gram"),
+        F.explode(bind_once(_words(F.col(text_col)), gram_arr)).alias(
+            "gram"
+        ),
     )
     counts = grams.groupBy(id_col, "_tlen", "gram").agg(
         F.count(F.lit(1)).alias("c")

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from memorious_spark.functions.hof import bind_once
+
 __all__ = [
     "token_count",
     "bpe_token_count",
@@ -135,31 +137,44 @@ def lang_guess(text: Column) -> Column:
     counts to the padded-substring formulation on space-separated
     text), and take ``array_max`` over (score, rank) structs — struct
     ordering gives argmax with the rank field breaking ties toward
-    earlier languages."""
-    toks = F.split(F.trim(F.lower(text)), " ")
+    earlier languages. "Tokenize once" needs :func:`bind_once` to be
+    literally true: twelve sibling ``filter`` expressions over an
+    inlined split each re-run it (HOF lambdas see no CSE)."""
     langs = list(_LANG_MARKERS)
 
     def _in_set(words):  # closure, not a default arg: F.filter reads
         return lambda t: t.isin(*words)  # lambda arity as (value, idx)
 
-    entries = [
-        F.struct(
-            F.size(
-                F.filter(
-                    toks,
-                    _in_set(tuple(m.strip() for m in _LANG_MARKERS[lang])),
-                )
-            ).alias("s"),
-            F.lit(len(langs) - i).alias("r"),  # higher rank = earlier lang
-        )
-        for i, lang in enumerate(langs)
-    ]
-    best = F.array_max(F.array(*entries))
-    idx = (F.lit(len(langs) + 1) - best["r"]).cast("int")
-    return F.when(
-        best["s"] > 0,
-        F.element_at(F.array(*[F.lit(l) for l in langs]), idx),
-    ).otherwise(F.lit("und"))
+    def best_lang(toks: Column) -> Column:
+        entries = [
+            F.struct(
+                F.size(
+                    F.filter(
+                        toks,
+                        _in_set(
+                            tuple(m.strip() for m in _LANG_MARKERS[lang])
+                        ),
+                    )
+                ).alias("s"),
+                F.lit(len(langs) - i).alias("r"),  # higher = earlier lang
+            )
+            for i, lang in enumerate(langs)
+        ]
+        return F.array_max(F.array(*entries))
+
+    def pick(best: Column) -> Column:
+        idx = (F.lit(len(langs) + 1) - best["r"]).cast("int")
+        return F.when(
+            best["s"] > 0,
+            F.element_at(F.array(*[F.lit(l) for l in langs]), idx),
+        ).otherwise(F.lit("und"))
+
+    # nested binds: tokenize once, score once (the scored struct is
+    # itself referenced twice by the argmax unwrap)
+    return bind_once(
+        F.split(F.trim(F.lower(text)), " "),
+        lambda toks: bind_once(best_lang(toks), pick),
+    )
 
 
 def fingerprint(text: Column) -> Column:
@@ -175,13 +190,19 @@ def shingles(text: Column, k: int = 3) -> Column:
     shorter than k tokens yield one truncated shingle.
 
     SQL twin in DuckDB: list comprehension over ``string_split``.
+
+    Tokens bound once (:func:`bind_once`) — inlined, the split
+    re-runs per shingle position inside the interpreted transform.
     """
-    toks = F.split(F.trim(text), " ")
-    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n),
-        lambda j: F.concat_ws(" ", F.slice(toks, j, k)),
-    )
+
+    def sh(toks: Column) -> Column:
+        n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n),
+            lambda j: F.concat_ws(" ", F.slice(toks, j, k)),
+        )
+
+    return bind_once(F.split(F.trim(text), " "), sh)
 
 
 def minhash_signature(shingle_col: Column, n_perm: int = 16) -> Column:

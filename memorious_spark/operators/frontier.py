@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from memorious_spark.functions.hof import bind_once
+
 __all__ = [
     "FRONTIER_SCHEMA",
     "politeness_dequeue",
@@ -59,9 +61,13 @@ def politeness_dequeue(
     """
     if robots is not None:
         frontier = frontier.join(F.broadcast(robots), "host", "left")
-        disallowed = F.exists(
-            F.col("disallow_prefixes"),
-            lambda p: F.expr("parse_url(url, 'PATH')").startswith(p),
+        # bind the parsed path once — inlined in the exists lambda it
+        # would re-parse the URL per disallow prefix (no CSE in HOFs)
+        disallowed = bind_once(
+            F.expr("parse_url(url, 'PATH')"),
+            lambda path: F.exists(
+                F.col("disallow_prefixes"), lambda p: path.startswith(p)
+            ),
         )
         frontier = frontier.filter(
             F.col("disallow_prefixes").isNull() | ~disallowed

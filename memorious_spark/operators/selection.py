@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from memorious_spark.functions.hof import bind_once
+
 __all__ = ["importance_weights", "dsir_select", "feature_bucket_col"]
 
 
@@ -50,18 +52,24 @@ def feature_bucket_col(feat: Column, n_buckets: int) -> Column:
 def _features(text: Column) -> Column:
     """Whitespace unigrams + bigrams of the lowercased text. The
     bigram branch is guarded: ``sequence(1, 0)`` would count DOWN in
-    Spark (yielding [1, 0]) where DuckDB's generate_series is empty."""
-    toks = F.split(F.lower(F.trim(text)), " ")
-    bi = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda j: F.concat_ws(
-                " ", F.element_at(toks, j), F.element_at(toks, j + 1)
+    Spark (yielding [1, 0]) where DuckDB's generate_series is empty.
+    Tokens are bound once (:func:`hof.bind_once`) — inlined, the
+    lower+split re-runs twice per bigram inside the interpreted
+    transform."""
+
+    def feats(toks: Column) -> Column:
+        bi = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda j: F.concat_ws(
+                    " ", F.element_at(toks, j), F.element_at(toks, j + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bi)
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(toks, bi)
+
+    return bind_once(F.split(F.lower(F.trim(text)), " "), feats)
 
 
 def _bucket_counts(
