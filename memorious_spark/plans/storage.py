@@ -213,7 +213,9 @@ class RunStore:
         return sorted(
             int(d.name.split("=")[1])
             for d in p.glob("delta=*")
-            if d.is_dir() and "__new" not in d.name
+            # numeric-only: skips both in-flight ``__new`` dirs and
+            # retained ``__old`` snapshots awaiting vacuum
+            if d.is_dir() and d.name.split("=")[1].isdigit()
         )
 
     @staticmethod
@@ -247,19 +249,29 @@ class RunStore:
             else:
                 shutil.rmtree(pend, ignore_errors=True)
 
-    def vacuum_shared(self) -> None:
-        """Sweep every shared table's compaction leftovers (crashed
-        ``delta=*__new`` dirs): completed writes are rolled FORWARD,
-        partial writes dropped. The per-op recovery already handles
-        the table being touched; this covers tables a resumed run
-        never writes again. The Iceberg analogue is snapshot expiry +
-        orphan-file removal."""
+    def vacuum_shared(self, grace_seconds: float = 0.0) -> None:
+        """Sweep every shared table's compaction leftovers: crashed
+        ``delta=*__new`` dirs (completed writes rolled FORWARD,
+        partial writes dropped) and retained ``delta=*__old``
+        snapshots older than ``grace_seconds`` (kept by
+        ``compact_shared(retain_old=True)`` so in-flight readers on an
+        object store finish against the files they listed). The
+        per-op recovery already handles the table being touched; this
+        covers tables a resumed run never writes again. The Iceberg
+        analogue is snapshot expiry + orphan-file removal."""
+        import time
+
         shared_root = self.dir.parent / "_shared"
         if not shared_root.is_dir():
             return
+        cutoff = time.time() - grace_seconds
         for tdir in shared_root.iterdir():
-            if tdir.is_dir():
-                self._recover_compaction(tdir)
+            if not tdir.is_dir():
+                continue
+            self._recover_compaction(tdir)
+            for old in tdir.glob("delta=*__old"):
+                if old.stat().st_mtime <= cutoff:
+                    shutil.rmtree(old, ignore_errors=True)
 
     def _read_resolved(
         self, spark: SparkSession, table: str
@@ -297,11 +309,27 @@ class RunStore:
             "__first_seen",
         )
 
-    def compact_shared(self, spark: SparkSession, table: str) -> None:
+    def compact_shared(
+        self, spark: SparkSession, table: str, retain_old: bool = False
+    ) -> None:
         """Minor compaction: fold every delta into one base dir whose
         rows carry the RESOLVED values at the next version number.
         Write-new → remove-old → rename, with read-side recovery for
-        the one non-atomic window."""
+        the one non-atomic window.
+
+        ``retain_old=True`` renames the folded deltas to
+        ``delta=V__old`` instead of deleting them — on an
+        eventually-consistent object store a reader that listed the
+        table before the compaction can still finish its scan against
+        the snapshot it saw (rename keeps the blobs; readers hold
+        paths, not names, on a real store — locally this models the
+        retention window). ``__old`` dirs are invisible to
+        ``_delta_versions`` and reclaimed by
+        :meth:`vacuum_shared(grace_seconds=...)` — Iceberg's snapshot
+        expiry. Default stays delete-now: single-writer AND
+        single-reader per crawler is the engine's own execution
+        model; retention only matters when external readers share the
+        table."""
         from pyspark.sql import functions as F
 
         p = self.shared_path(table)
@@ -315,7 +343,10 @@ class RunStore:
         tmp = p / f"delta={v_new}__new"
         resolved.write.mode("overwrite").parquet(str(tmp))
         for v in versions:
-            shutil.rmtree(p / f"delta={v}", ignore_errors=True)
+            if retain_old:
+                (p / f"delta={v}").rename(p / f"delta={v}__old")
+            else:
+                shutil.rmtree(p / f"delta={v}", ignore_errors=True)
         tmp.rename(p / f"delta={v_new}")
 
     def flush_crawler(self) -> None:
