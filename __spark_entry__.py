@@ -428,6 +428,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup_new(cands, seen).select("doc_id", "url")
 
+    def dedup_cuckoo(spark, sf_dir):
+        """The deletable seen-filter (operators/cuckoo.py): build the
+        sharded cuckoo filter over the seen hashes, DELETE the expired
+        subset (the operation the bloom structurally lacks), and
+        prefilter the anti-join with it. Exactness contract identical
+        to dedup_anti_join: the final left_anti decides."""
+        from memorious_spark.operators.cuckoo import (
+            build_cuckoo, delete_cuckoo,
+        )
+
+        docs = _docs(spark, sf_dir)
+        cands = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://h"), F.col("doc_id") % 7,
+                F.lit(".example.com/doc/"), F.col("doc_id"),
+            ).alias("url"),
+        ).withColumn("url_hash", F.xxhash64("url"))
+        seen_all = cands.filter(F.col("doc_id") % 3 == 0)
+        filt = build_cuckoo(
+            seen_all, "url_hash",
+            expected=max(64, seen_all.count()), n_shards=8,
+        )
+        expired = seen_all.filter(F.col("doc_id") % 6 == 0)
+        delete_cuckoo(filt, expired)
+        live = seen_all.filter(F.col("doc_id") % 6 != 0).select("url_hash")
+        return dedup_new(cands, live, cuckoo=filt).select("doc_id", "url")
+
     def incremental_skip(spark, sf_dir):
         ev = _events(spark, sf_dir)
         now = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
@@ -1290,6 +1318,7 @@ pipeline:
         "politeness_budget": politeness_budget,
         "robots_politeness": robots_politeness,
         "dedup_anti_join": dedup_anti_join,
+        "dedup_cuckoo": dedup_cuckoo,
         "incremental_skip": incremental_skip,
         "http_cache_replay": http_cache_replay,
         "incremental_second_run": incremental_second_run,
@@ -1452,6 +1481,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id AS url
             FROM documents WHERE doc_id % 3 <> 0
+        """,
+        "dedup_cuckoo": """
+            SELECT doc_id,
+                   'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id AS url
+            FROM documents WHERE doc_id % 3 <> 0 OR doc_id % 6 = 0
         """,
         "incremental_skip": """
             SELECT e.event_id, e.user_id

@@ -161,6 +161,7 @@ def dedup_new(
     key: str = "url_hash",
     seen_count: int | None = None,
     bloom=None,
+    cuckoo=None,
 ) -> DataFrame:
     """Rows of ``candidates`` whose ``key`` is not in ``seen``.
 
@@ -170,13 +171,27 @@ def dedup_new(
     picks the strategy without an extra count job. ``bloom`` — a
     (bitmap, m, k) the caller maintains incrementally across rounds
     (:func:`update_bloom`) — skips the per-call rebuild; it MUST cover
-    every hash in ``seen`` (false negatives re-crawl URLs).
+    every hash in ``seen`` (false negatives re-crawl URLs). ``cuckoo``
+    — a :class:`~memorious_spark.operators.cuckoo.CuckooFilter` —
+    plays the same prefilter role with DELETE support (expired tags
+    leave the filter, keeping its pruning tight; see cuckoo.py).
     """
     if seen is None:
         return candidates
     seen_keys = seen.select(key).distinct()
-    if bloom is None and seen_count is not None and seen_count >= _BLOOM_MIN_ROWS:
+    if (
+        bloom is None and cuckoo is None
+        and seen_count is not None and seen_count >= _BLOOM_MIN_ROWS
+    ):
         bloom = build_bloom(seen_keys, key, seen_count)
+    if cuckoo is not None:
+        from memorious_spark.operators.cuckoo import cuckoo_probe_udf
+
+        maybe_seen = cuckoo_probe_udf(candidates.sparkSession, cuckoo)
+        definitely_new = candidates.filter(~maybe_seen(F.col(key)))
+        maybe = candidates.filter(maybe_seen(F.col(key)))
+        confirmed_new = maybe.join(seen_keys, key, "left_anti")
+        return definitely_new.unionByName(confirmed_new)
     if bloom is not None:
         bitmap, m, k = bloom
         maybe_seen = _probe_udf(candidates.sparkSession, bitmap, m, k)

@@ -88,6 +88,79 @@ def test_dedup_new_bloom_path(spark):
     assert got == list(range(1, 1000, 2))
 
 
+def test_dedup_new_cuckoo_path(spark):
+    """Forced cuckoo prefilter == plain anti-join (exactness survives
+    the probe), including after incremental insert AND delete — the
+    capability the bloom lacks."""
+    from memorious_spark.operators.cuckoo import (
+        build_cuckoo, delete_cuckoo, update_cuckoo,
+    )
+
+    seen0 = spark.range(0, 1000, 2).select(F.col("id").alias("url_hash"))
+    filt = build_cuckoo(seen0, "url_hash", expected=4000, n_shards=4)
+    assert 0 < filt.fill_ratio() < 1
+    cands = spark.range(1000).select(F.col("id").alias("url_hash"))
+    out = dedup_new(cands, seen0, cuckoo=filt)
+    assert sorted(r["url_hash"] for r in out.collect()) == list(
+        range(1, 1000, 2)
+    )
+
+    # incremental insert of a later round's additions
+    add = spark.range(5000, 5100).select(F.col("id").alias("url_hash"))
+    filt = update_cuckoo(filt, add)
+    seen_all = seen0.unionByName(add)
+    cands2 = cands.unionByName(
+        spark.range(5000, 5200).select(F.col("id").alias("url_hash"))
+    )
+    out2 = dedup_new(cands2, seen_all, cuckoo=filt)
+    assert sorted(r["url_hash"] for r in out2.collect()) == list(
+        range(1, 1000, 2)
+    ) + list(range(5100, 5200))
+
+    # EXPIRY: remove hashes 0..498 from filter AND exact side — the
+    # re-crawlable URLs come back without any rebuild
+    expired = spark.range(0, 500, 2).select(F.col("id").alias("url_hash"))
+    removed = delete_cuckoo(filt, expired)
+    assert removed == 250
+    live = spark.range(500, 1000, 2).select(
+        F.col("id").alias("url_hash")
+    ).unionByName(add)
+    out3 = dedup_new(cands, live, cuckoo=filt)
+    assert sorted(r["url_hash"] for r in out3.collect()) == sorted(
+        list(range(1, 1000, 2)) + list(range(0, 500, 2))
+    )
+    # deleted keys genuinely left the filter (prefilter stays tight
+    # modulo the ~1e-4 false-positive floor)
+    hv = __import__("numpy").arange(0, 500, 2, dtype="uint64")
+    assert filt.contains(hv).mean() < 0.05
+
+
+def test_cuckoo_overfull_fails_loud(spark):
+    from memorious_spark.operators.cuckoo import build_cuckoo
+
+    big = spark.range(3000).select(F.col("id").alias("url_hash"))
+    with pytest.raises(Exception, match="over-full"):
+        # expected=64 at 4 shards sizes each shard for ~16 keys;
+        # 3000 keys cannot fit — must raise, never silently drop
+        build_cuckoo(big, "url_hash", expected=64, n_shards=4)
+
+
+def test_cuckoo_negative_hash_routing(spark):
+    """xxhash64 is SIGNED in Spark — the JVM shard id (low-bit mask)
+    must agree with numpy's uint64 routing or probes read the wrong
+    shard."""
+    from memorious_spark.operators.cuckoo import build_cuckoo
+
+    df = spark.range(2000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    hv = __import__("numpy").array(
+        [r["url_hash"] for r in df.collect()], dtype="int64"
+    ).astype("uint64")
+    filt = build_cuckoo(df, "url_hash", expected=8000, n_shards=8)
+    assert bool(filt.contains(hv).all())  # no false negatives, ever
+
+
 def test_bloom_incremental_update_no_false_negatives(spark):
     from memorious_spark.operators.seen import build_bloom, update_bloom
 
