@@ -395,6 +395,44 @@ class RunStore:
             d["bitmap"], int(d["m"]), int(d["k"]), int(d["capacity"])
         )
 
+    def save_cuckoo(self, filt) -> None:
+        """Checkpoint a :class:`~memorious_spark.operators.cuckoo.
+        CuckooFilter` beside the bloom, same write-then-replace
+        atomicity and the same false-positive-only ordering argument —
+        with ONE extra hazard the bloom doesn't have: a cuckoo
+        checkpoint taken AFTER deletes were applied but BEFORE their
+        source rows left the exact table would miss live keys. The
+        runner's contract (delete only what the exact side already
+        excludes) rules that out."""
+        import numpy as np
+
+        tmp = self.dir / "cuckoo.npz.tmp"
+        shard_ids = sorted(filt.shards)
+        with open(tmp, "wb") as fh:
+            np.savez(
+                fh,
+                n_shards=np.int64(filt.n_shards),
+                nb=np.int64(filt.nb),
+                shards=np.stack([filt.shards[s] for s in shard_ids]),
+                shard_ids=np.array(shard_ids, dtype=np.int64),
+            )
+        tmp.replace(self.dir / "cuckoo.npz")
+
+    def load_cuckoo(self):
+        """CuckooFilter or None — resume-side reload."""
+        import numpy as np
+
+        from memorious_spark.operators.cuckoo import CuckooFilter
+
+        p = self.dir / "cuckoo.npz"
+        if not p.exists():
+            return None
+        d = np.load(p)
+        filt = CuckooFilter(int(d["n_shards"]), int(d["nb"]))
+        for i, s in enumerate(d["shard_ids"]):
+            filt.shards[int(s)] = d["shards"][i].copy()
+        return filt
+
     def commit_round(self, rnd: int, stats: dict) -> None:
         """Advance the manifest: round ``rnd`` is durable and complete."""
         manifest = self.read_manifest() or {"rounds": []}

@@ -135,6 +135,24 @@ def test_dedup_new_cuckoo_path(spark):
     assert filt.contains(hv).mean() < 0.05
 
 
+def test_cuckoo_checkpoint_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from memorious_spark.operators.cuckoo import build_cuckoo
+    from memorious_spark.plans.storage import RunStore
+
+    seen = spark.range(0, 2000, 2).select(F.col("id").alias("url_hash"))
+    filt = build_cuckoo(seen, "url_hash", expected=4000, n_shards=4)
+    store = RunStore(tmp_path, "ck", "r1")
+    assert store.load_cuckoo() is None
+    store.save_cuckoo(filt)
+    back = store.load_cuckoo()
+    assert back.n_shards == filt.n_shards and back.nb == filt.nb
+    hv = np.arange(0, 2000, dtype=np.uint64)
+    assert (back.contains(hv) == filt.contains(hv)).all()
+    assert back.contains(np.arange(0, 2000, 2, dtype=np.uint64)).all()
+
+
 def test_cuckoo_overfull_fails_loud(spark):
     from memorious_spark.operators.cuckoo import build_cuckoo
 
