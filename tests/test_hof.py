@@ -78,6 +78,30 @@ def test_word_line_metric_dicts(spark):
     assert abs(rows[1].dup - 3 / 7) < 1e-6
 
 
+def test_bind_once_plan_lock(spark):
+    """The optimized plan carries each tokenization exactly once —
+    the whole point of bind_once. A refactor that inlines the split
+    back into the HOF lambdas multiplies these counts (and the
+    runtime cost per element) without failing any value test."""
+    from memorious_spark.functions.quality import gopher_keep
+    from memorious_spark.functions.textops import lang_guess, shingles
+
+    df = spark.range(5).select(
+        F.concat(F.lit("w "), F.col("id")).alias("text")
+    )
+
+    def n_splits(col):
+        plan = (
+            df.select(col.alias("o"))
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        return plan.count("split(")
+
+    assert n_splits(gopher_keep(F.col("text"))) == 2  # words + lines
+    assert n_splits(lang_guess(F.col("text"))) == 1
+    assert n_splits(shingles(F.col("text"))) == 1
+
+
 def test_bind_struct_kwargs(spark):
     df = spark.createDataFrame([("a b", "x\ny"),], "t string, u string")
     out = df.select(
