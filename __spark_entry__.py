@@ -970,7 +970,7 @@ pipeline:
     def decontaminate(spark, sf_dir):
         """Benchmark decontamination: every 50th doc stands in for the
         eval set; docs sharing any word 8-gram with it are flagged
-        (broadcast-array path — the benchmark side is the small one)."""
+        (broadcast semi-join path — the benchmark side is the small one)."""
         from memorious_spark.operators.contamination import flag_contaminated
 
         d = _docs(spark, sf_dir)

@@ -377,19 +377,26 @@ def test_strip_boilerplate_broadcast_path_docs_never_shuffle(spark):
 
 
 def test_decontaminate_broadcast_path_corpus_stays_map_side(spark):
-    """Broadcast path: benchmark grams fold to one array row; the
-    corpus side is scan → project (array_intersect), with no
-    corpus-keyed exchange and no sort-merge join."""
+    """Broadcast path, asserted on the FINAL adaptive plan: the
+    corpus explode feeds a broadcast LeftSemi (bench side builds the
+    hash once per task — the former per-row array_intersect rebuilt
+    it per document, 5.5x slower at sf0.1), the count-back resolves
+    to a broadcast LeftOuter, and the corpus is never sort-merge
+    joined. The only tolerated doc_id exchange is the semi-join
+    OUTPUT (matched grams — a sliver when contamination is rare)."""
     from memorious_spark.operators.contamination import flag_contaminated
 
     docs = _mini_docs(spark)
     bench = docs.limit(5)
     out = flag_contaminated(docs, bench, n=3, broadcast_max=10**6)
+    out.collect()  # let AQE finalize the runtime join strategies
     plan = _plan(out)
-    assert "Exchange hashpartitioning(doc_id" not in plan, plan[:3000]
+    assert "isFinalPlan=true" in plan, plan[:500]
     assert "SortMergeJoin" not in plan, plan[:3000]
-    # forced join path: grams explode into a semi-join + per-doc
-    # count (its exchanges broadcast away at test scale)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") <= 1, plan[:3000]
+    # forced shuffle-join path (huge-bench fallback): same shape,
+    # semi-join keyed on the gram
     joiny = flag_contaminated(docs, bench, n=3, broadcast_max=0)
     plan_join = _plan(joiny)
     assert "LeftSemi" in plan_join and "explode" in plan_join
