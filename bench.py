@@ -383,9 +383,12 @@ def main() -> None:
     # minutes-long host-steal episodes; a single window can depress one
     # level's number and fabricate (or destroy) scaling. Best-of per
     # level across two separated windows measures the engine, not the
-    # neighbor's workload.
+    # neighbor's workload. BENCH_EFF_WINDOWS raises the window count
+    # when the host is having a bad day (the hw ceiling in the output
+    # says whether it was) — same doctrine, more separation.
+    n_windows = max(1, int(os.environ.get("BENCH_EFF_WINDOWS", "2")))
     results: dict[int, dict] = {}
-    for cpus in (lo_cpus, mid_cpus, CPUS, lo_cpus, mid_cpus, CPUS):
+    for cpus in (lo_cpus, mid_cpus, CPUS) * n_windows:
         r = spawn(cpus)
         prev = results.get(cpus)
         if prev is None:
