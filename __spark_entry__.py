@@ -38,6 +38,9 @@ SEMDEDUP_THR = 0.35
 SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 DSIR_BUCKETS = 8192
 SPAN_K = 5
+PR_STRIDES = (1, 12, 23)  # corpus.LINK_STRIDES (anchor graph)
+PR_ITERS = 5
+PR_UNIT = 10**6
 LSH_BANDS, LSH_PPB = 4, 4
 
 
@@ -306,6 +309,86 @@ def _stop_sql() -> str:
         for w in _STOPWORDS
     )
     return f"({terms})"
+
+
+def _pagerank_sql(
+    n_iter: int = PR_ITERS, unit: int = PR_UNIT, dnum: int = 17, dden: int = 20
+) -> str:
+    """DuckDB twin of linkrank.pagerank over the corpus anchor graph:
+    the fixed iterations UNROLL as chained CTEs (a recursive CTE may
+    reference itself only once, but each round needs the previous
+    ranks twice — dangling mass + in-sums). All-integer arithmetic
+    (`//` here, `div` in Spark — identical on non-negative values),
+    so the match is bit-exact, not round-trip-lucky."""
+    base = ((dden - dnum) * unit) // dden
+    strides = ", ".join(f"(7 * doc_id + {s}) % nn.n" for s in PR_STRIDES)
+    rounds = []
+    for t in range(1, n_iter + 1):
+        rounds.append(f"""
+pr{t} AS (
+  SELECT nd.node, nd.dangling, nd.deg,
+         CAST({base} + ({dnum} * (COALESCE(s.insum, 0) + d.share))
+              // {dden} AS BIGINT) AS units
+  FROM nd
+  CROSS JOIN (SELECT COALESCE(sum(units), 0) // (SELECT N FROM nc) AS share
+              FROM pr{t - 1} WHERE dangling) d
+  LEFT JOIN (SELECT e.dst AS node, sum(p.units // p.deg) AS insum
+             FROM pr{t - 1} p JOIN edges e ON e.src = p.node
+             GROUP BY e.dst) s ON s.node = nd.node
+)""")
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, unnest([{strides}]) AS dst
+    FROM documents, nn
+    WHERE doc_id % 23 <> 0 AND doc_id % 19 <> 0 AND doc_id % 17 <> 0)
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+nd AS (SELECT n.node, d.deg, d.deg IS NULL AS dangling
+       FROM nodes n LEFT JOIN deg d ON d.src = n.node),
+nc AS (SELECT count(*) AS N FROM nodes),
+pr0 AS (SELECT node, dangling, deg, CAST({unit} AS BIGINT) AS units FROM nd),
+{",".join(rounds)}
+SELECT node, units AS rank_units, units / {float(unit)} AS rank
+FROM pr{n_iter}
+"""
+
+
+def _lm_perplexity_sql() -> str:
+    """DuckDB twin of selection.lm_bigram_scores: same split/bigram
+    conventions as the DSIR oracle, per-bigram round-6 decimal
+    quantization, documents without bigrams fall out of the explode
+    and re-enter as (0, 0.0) through the final left join."""
+    return """
+WITH rtok AS (SELECT string_split(lower(trim(text)), ' ') AS toks
+              FROM documents WHERE doc_id % 10 = 0),
+rbig AS (SELECT toks[j] AS w1, toks[j + 1] AS w2
+         FROM rtok, LATERAL unnest(generate_series(1, len(toks) - 1)) u(j)),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM rbig GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+v AS (SELECT count(DISTINCT t) AS V
+      FROM (SELECT unnest(toks) AS t FROM rtok)),
+dtok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+         FROM documents),
+dbig AS (SELECT doc_id, toks[j] AS w1, toks[j + 1] AS w2
+         FROM dtok, LATERAL unnest(generate_series(1, len(toks) - 1)) u(j)),
+scored AS (
+  SELECT doc_id,
+         CAST(round(ln((COALESCE(c2.c2, 0) + 1)::DOUBLE
+                       / (COALESCE(c1.c1, 0) + v.V)::DOUBLE), 6)
+              AS DECIMAL(18,6)) AS logp
+  FROM dbig LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1), v),
+agg AS (SELECT doc_id, count(*) AS nb,
+               CAST(sum(logp) AS DOUBLE) / count(*) AS avg_lp
+        FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.nb, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(a.avg_lp, 0.0) AS avg_logp
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
 
 
 # ----------------------------------------------------------------------
@@ -1312,6 +1395,42 @@ pipeline:
             .alias("clean_hash"),
         )
 
+    def link_pagerank(spark, sf_dir):
+        """Frontier priority from link authority: fixed-point-integer
+        PageRank (5 rounds, d = 17/20) over the corpus anchor graph
+        (html page d → (7d+s) % n for the LINK_STRIDES) — bit-exact
+        across engines because the whole iteration is integer
+        arithmetic (see operators/linkrank.py)."""
+        from memorious_spark.operators.linkrank import pagerank
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        srcs = docs.filter(
+            "doc_id % 23 != 0 and doc_id % 19 != 0 and doc_id % 17 != 0"
+        )
+        edges = srcs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("doc_id") * 7 + F.lit(s)) % n
+                        for s in PR_STRIDES
+                    ]
+                )
+            ).alias("dst"),
+        )
+        return pagerank(edges, n_iter=PR_ITERS)
+
+    def lm_perplexity(spark, sf_dir):
+        """CCNet-style fluency gate (Wenzek et al. 2020): add-one
+        bigram LM trained on the every-10th-doc reference slice,
+        every document scored by mean bigram log-prob (decimal-
+        quantized per bigram — the DSIR order-exactness contract)."""
+        from memorious_spark.operators.selection import lm_bigram_scores
+
+        docs = _docs(spark, sf_dir)
+        return lm_bigram_scores(docs, docs.filter("doc_id % 10 = 0"))
+
     return {
         "crawl_bfs_seen": crawl_bfs_seen,
         "crawl_min_depth": crawl_min_depth,
@@ -1369,6 +1488,8 @@ pipeline:
         "gopher_quality": gopher_quality,
         "c4_line_filter": c4_line_filter,
         "ngram_repetition": ngram_repetition,
+        "link_pagerank": link_pagerank,
+        "lm_perplexity": lm_perplexity,
         "clean_html_op": clean_html_op,
     }
 
@@ -2058,6 +2179,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # DSIR: same md5 feature buckets, same all-integer ratio
         # inside one ln, same DECIMAL(18,6) order-exact sum
+        "link_pagerank": _pagerank_sql(),
+        "lm_perplexity": _lm_perplexity_sql(),
         "dsir_weights": f"""
             WITH tok AS (
               SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks

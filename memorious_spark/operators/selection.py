@@ -37,7 +37,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from memorious_spark.functions.hof import bind_once
 
-__all__ = ["importance_weights", "dsir_select", "feature_bucket_col"]
+__all__ = [
+    "importance_weights",
+    "dsir_select",
+    "feature_bucket_col",
+    "lm_bigram_scores",
+    "perplexity_select",
+]
 
 
 def feature_bucket_col(feat: Column, n_buckets: int) -> Column:
@@ -183,4 +189,143 @@ def dsir_select(
     # no broadcast hint: n_keep is typically a large fraction of the
     # corpus — AQE picks broadcast on its own when the keep-list is
     # actually small
+    return docs.join(kept, id_col, "inner")
+
+
+def _bigram_structs(text: Column) -> Column:
+    """Array of (w1, w2) whitespace-bigram structs of the lowercased
+    text — the split convention of :func:`_features`, tokens bound
+    once. Empty array below 2 tokens (``sequence(1, 0)`` would count
+    DOWN in Spark where DuckDB's generate_series is empty)."""
+
+    def bigs(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda j: F.struct(
+                    F.element_at(toks, j).alias("w1"),
+                    F.element_at(toks, j + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    return bind_once(F.split(F.lower(F.trim(text)), " "), bigs)
+
+
+def lm_bigram_scores(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model fluency scoring (Wenzek et al. 2020,
+    arXiv:1911.00359): train an add-one-smoothed bigram LM on a clean
+    REFERENCE slice, score every corpus document by its mean bigram
+    log-probability. CCNet ranks Common-Crawl text by Wikipedia-LM
+    perplexity and keeps the fluent head; this is that gate with the
+    sandbox-honest stand-in for KenLM (no model binaries here) — a
+    bigram LM estimated with the same distributed aggregates the rest
+    of the engine uses.
+
+    Per document bigram ``(w1, w2)``::
+
+        logp = ln((c2(w1,w2) + 1) / (c1(w1) + V))
+
+    with ``c2`` the reference bigram count, ``c1`` the count of
+    ``w1`` in bigram-prefix position, and ``V`` the reference unigram
+    vocabulary size. Returns ``(id_col, n_bigrams, avg_logp)`` — one
+    row per input document; higher ``avg_logp`` (= lower perplexity)
+    is more fluent. Documents with < 2 tokens score ``(0, 0.0)``.
+
+    Engine-reproducibility: each bigram contributes
+    ``round(logp, 6)`` CAST TO DECIMAL(18,6) and the document sum is
+    decimal (order-exact, the DSIR contract); only the final
+    sum/count division is floating point, applied to identical
+    operands in both engines.
+
+    Scale posture: the LM tables are O(reference-sample bigram
+    vocabulary) — the reference is a curated SAMPLE by construction,
+    so the two model joins broadcast under AQE when they fit and
+    degrade to key-shuffle joins when they don't; the scoring pass is
+    one explode + two model joins + ONE doc-keyed decimal sum. No
+    Python anywhere.
+    """
+    per = docs.select(
+        F.col(id_col),
+        F.explode_outer(_bigram_structs(F.col(text_col))).alias("_bg"),
+    ).select(
+        id_col,
+        F.col("_bg.w1").alias("w1"),
+        F.col("_bg.w2").alias("w2"),
+    )
+    c2 = (
+        ref.select(
+            F.explode(_bigram_structs(F.col(text_col))).alias("_bg")
+        )
+        .groupBy(
+            F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = ref.select(
+        F.explode(
+            bind_once(
+                F.split(F.lower(F.trim(F.col(text_col))), " "),
+                lambda t: t,
+            )
+        ).alias("_t")
+    ).agg(F.countDistinct("_t").alias("V"))
+    scored = (
+        per.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            "w1",
+            F.when(
+                F.col("w1").isNotNull(),
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (
+                            F.coalesce(F.col("c1"), F.lit(0))
+                            + F.col("V")
+                        ).cast("double")
+                    ),
+                    6,
+                ).cast("decimal(18,6)"),
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("w1").alias("n_bigrams"),
+        F.when(
+            F.count("w1") > 0,
+            F.sum("logp").cast("double") / F.count("w1"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_logp"),
+    )
+
+
+def perplexity_select(
+    docs: DataFrame,
+    ref: DataFrame,
+    n_keep: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep the ``n_keep`` most fluent documents under the reference
+    bigram LM (CCNet's "head" slice; ties → lower id).
+    ``orderBy().limit()`` plans as TakeOrdered — no global sort."""
+    s = lm_bigram_scores(docs, ref, id_col, text_col)
+    kept = (
+        s.orderBy(F.col("avg_logp").desc(), F.col(id_col))
+        .limit(n_keep)
+        .select(id_col, "avg_logp")
+    )
     return docs.join(kept, id_col, "inner")

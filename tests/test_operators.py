@@ -1450,3 +1450,112 @@ def test_duplicate_span_fraction_hand_counts(spark):
         2: (5, 0.4),
         3: (2, 0.0),
     }
+
+
+def test_pagerank_integer_exact(spark):
+    """Fixed-point PageRank equals a hand-rolled Python twin UNIT FOR
+    UNIT (the cross-engine exactness contract is integer arithmetic,
+    so there is nothing to round). Graph exercises a dangling node,
+    a 2-cycle, a duplicate input edge (must count once), and a
+    self-loop."""
+    from collections import defaultdict
+
+    from memorious_spark.operators.linkrank import pagerank
+
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 0), (4, 4), (0, 1)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {r.node: r.rank_units for r in pagerank(df, n_iter=5).collect()}
+
+    unit, dnum, dden = 10**6, 17, 20
+    out = defaultdict(set)
+    for s, d in E:
+        out[s].add(d)
+    nodes = sorted({u for e in E for u in e})
+    n = len(nodes)
+    base = ((dden - dnum) * unit) // dden
+    r = {v: unit for v in nodes}
+    for _ in range(5):
+        dang = sum(r[v] for v in nodes if not out.get(v))
+        share = dang // n
+        ins = defaultdict(int)
+        for s, ds in out.items():
+            c = r[s] // len(ds)
+            for d in ds:
+                ins[d] += c
+        r = {v: base + (dnum * (ins[v] + share)) // dden for v in nodes}
+    assert got == r
+    # authority ordering sanity: 2 has the most in-links
+    assert max(got, key=got.get) == 2
+
+    with pytest.raises(ValueError, match="fixed-point overflow"):
+        pagerank(df, n_iter=1, unit=2 * 10**17)
+
+
+def test_rank_priority_orders_dequeue(spark):
+    """Link authority drives the politeness dequeue: under a budget
+    of 1 per host, the HIGH-rank URL wins the round even though it
+    was emitted later (priority sorts before emit_seq); unranked URLs
+    keep priority 0 and beat nothing."""
+    from memorious_spark.operators.frontier import politeness_dequeue
+    from memorious_spark.operators.linkrank import rank_priority
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://h0/doc/1", "h0", 0, 1),
+            ("https://h0/doc/2", "h0", 0, 2),
+            ("https://h1/doc/3", "h1", 0, 3),
+        ],
+        "url string, host string, priority long, emit_seq long",
+    )
+    ranks = spark.createDataFrame(
+        [("https://h0/doc/2", 900)], "node string, rank_units long"
+    )
+    ranked = rank_priority(frontier, ranks, id_col="url")
+    sel, carry = politeness_dequeue(ranked, budget=1)
+    assert {r.url for r in sel.collect()} == {
+        "https://h0/doc/2",  # rank −900 beats FIFO position 1
+        "https://h1/doc/3",  # unranked, alone on its host
+    }
+    assert [r.url for r in carry.collect()] == ["https://h0/doc/1"]
+
+
+def test_lm_bigram_scores_hand_math(spark):
+    """Bigram-LM scoring recomputes exactly from the published
+    formula: add-one smoothing over (prefix count + vocab), per-
+    bigram round-6 quantization, < 2 tokens → (0, 0.0), unknown
+    prefixes back off to ln(1/(0+V))."""
+    import math
+
+    from memorious_spark.operators.selection import (
+        lm_bigram_scores,
+        perplexity_select,
+    )
+
+    rows = [
+        (0, "a b a b c"),  # the reference slice
+        (1, "a b x"),
+        (2, "z"),
+        (3, "q r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = docs.filter("doc_id = 0")
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logp)
+        for r in lm_bigram_scores(docs, ref).collect()
+    }
+    # ref model: c2 = {(a,b):2, (b,a):1, (b,c):1}; c1 = {a:2, b:2}; V=3
+    lp = lambda c2, c1: round(math.log((c2 + 1) / (c1 + 3)), 6)
+    want = {
+        0: (4, (lp(2, 2) + lp(1, 2) + lp(2, 2) + lp(1, 2)) / 4),
+        1: (2, (lp(2, 2) + lp(0, 2)) / 2),
+        2: (0, 0.0),
+        3: (1, lp(0, 0) / 1),
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-9)
+    # the in-distribution doc is the most fluent → perplexity_select
+    # keeps it first
+    kept = sorted(r.doc_id for r in perplexity_select(docs, ref, 2).collect())
+    assert kept[0] == 0
