@@ -175,7 +175,9 @@ def rank_priority(
     rows (not yet in the graph) keep priority 0 — a discovered-first
     bias, the behavior a fresh-URL queue wants. The rank table is a
     per-node slim projection; AQE broadcasts it when it fits, else
-    this is one key-shuffle join."""
+    this is one key-shuffle join. Priority is DOUBLE — the engine's
+    frontier schema (frontier.py FRONTIER_SCHEMA); rank_units < 2^53
+    by the fixed-point bound, so the negation stays exact."""
     r = ranks.select(
         F.col(node_col).alias(id_col),
         F.col("rank_units").alias("_ru"),
@@ -184,7 +186,7 @@ def rank_priority(
         frontier.join(r, id_col, "left")
         .withColumn(
             "priority",
-            F.coalesce(-F.col("_ru"), F.lit(0)).cast("long"),
+            F.coalesce(-F.col("_ru"), F.lit(0)).cast("double"),
         )
         .drop("_ru")
     )

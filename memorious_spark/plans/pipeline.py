@@ -84,6 +84,13 @@ class CrawlConfig:
     # top-level `robots: true` derives the per-host gate table from
     # the corpus's own /robots.txt pages at run start
     use_robots: bool = False
+    # frontier prioritization (the north rule's PRIORITY queue; no
+    # reference analogue — memorious drains FIFO): "pagerank" re-ranks
+    # budget-constrained rounds by link authority over the link graph
+    # discovered so far (operators/linkrank.py); None keeps the
+    # reference's FIFO order, and the crawl-order oracles require it.
+    prioritize: str | None = None
+    rank_iters: int = 3
     # generator init stage (initializers.py:21-109): method + params of
     # a sequence/dates/enumerate init, and the %-templated seed urls
     # its items format into (flattened over tee branches in handler
@@ -227,6 +234,7 @@ def load_config(spec: dict) -> CrawlConfig:
     extract_enabled, extract_wildcard = False, None
     inspect_enabled = False
     clean_paths: tuple[str, ...] | None = None
+    prioritize, rank_iters = None, 3
     for stage in stages.values():
         method = stage.get("method")
         params = stage.get("params") or {}
@@ -236,6 +244,13 @@ def load_config(spec: dict) -> CrawlConfig:
             emit_errors = bool(params.get("emit_errors", False))
             if "rate_limit" in params:
                 budget = int(params["rate_limit"])
+            prioritize = params.get("prioritize")
+            if prioritize not in (None, "pagerank"):
+                raise ValueError(
+                    f"fetch prioritize: unknown scheme {prioritize!r} "
+                    "(supported: pagerank)"
+                )
+            rank_iters = int(params.get("rank_iters", 3))
         elif method == "extract":
             extract_enabled = True
             extract_wildcard = params.get("wildcard")
@@ -320,4 +335,6 @@ def load_config(spec: dict) -> CrawlConfig:
         init_params=init_params,
         seed_templates=seed_templates,
         clean_html_paths=clean_paths,
+        prioritize=prioritize,
+        rank_iters=rank_iters,
     )

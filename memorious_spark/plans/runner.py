@@ -339,6 +339,29 @@ class CrawlRunner:
             no_politeness = (
                 cfg.budget_per_host >= 1_000_000_000 and self.robots is None
             )
+            # link-authority prioritization (opt-in; north-rule
+            # priority queue). Only meaningful when a budget parks
+            # rows — with no politeness the whole frontier is fetched
+            # and order is irrelevant. Ranks come from the link graph
+            # DISCOVERED so far (every frontier emission carries its
+            # src_url); recomputed per round here — at a 10^10-URL
+            # frontier you'd recompute every k rounds and reuse the
+            # checkpointed rank table, the seam being this one call.
+            if (
+                cfg.prioritize == "pagerank"
+                and not no_politeness
+                and rnd >= 2
+            ):
+                from memorious_spark.operators.linkrank import (
+                    pagerank, rank_priority,
+                )
+
+                hist = store.read_all(spark, "frontier", rnd, FRONTIER_SCHEMA)
+                edges = hist.filter(F.col("src_url").isNotNull()).select(
+                    F.col("src_url").alias("src"), F.col("url").alias("dst")
+                )
+                ranks = pagerank(edges, n_iter=cfg.rank_iters)
+                frontier = rank_priority(frontier, ranks, id_col="url")
             if no_politeness:
                 selected, carryover = frontier, None
             else:

@@ -1559,3 +1559,101 @@ def test_lm_bigram_scores_hand_math(spark):
     # keeps it first
     kept = sorted(r.doc_id for r in perplexity_select(docs, ref, 2).collect())
     assert kept[0] == 0
+
+
+def test_video_ppm_container_roundtrip():
+    """encode_ppm is the exact inverse of the P6 decode branch;
+    decode_video splits a concatenated-P6 stream back into the exact
+    frames; real containers (MP4/AVI/Matroska) raise honestly."""
+    import numpy as np
+    import pytest as _pt
+
+    from memorious_spark.operators.multimodal import (
+        decode_image, decode_video, encode_ppm,
+    )
+
+    f0 = (np.arange(2 * 3 * 3) % 251).astype(np.uint8).reshape(2, 3, 3)
+    f1 = ((np.arange(2 * 3 * 3) * 7) % 251).astype(np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(decode_image(encode_ppm(f0)), f0)
+    vid = encode_ppm(f0) + encode_ppm(f1)
+    frames = decode_video(vid)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], f0) and np.array_equal(frames[1], f1)
+    with _pt.raises(NotImplementedError, match="MP4"):
+        decode_video(b"\x00\x00\x00\x18ftypisom rest")
+    with _pt.raises(NotImplementedError, match="AVI"):
+        decode_video(b"RIFF\x00\x00\x00\x00AVI LIST")
+    with _pt.raises(NotImplementedError, match="Matroska"):
+        decode_video(b"\x1a\x45\xdf\xa3xxxx")
+    with _pt.raises(ValueError, match="truncated"):
+        decode_video(encode_ppm(f0)[:-1])
+
+
+def test_resize_image_nearest_hand_math():
+    """4×4 → 2×2 nearest-neighbor with half-pixel centers picks source
+    indices floor((i+0.5)·4/2) = {1, 3} on both axes — hand-checked."""
+    import numpy as np
+
+    from memorious_spark.operators.multimodal import resize_image
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = resize_image(img, 2, 2)
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out, img[[1, 3]][:, [1, 3]])
+    # upscale: 2×2 → 4×4 repeats each source pixel 2×2
+    up = resize_image(img[:2, :2], 4, 4)
+    assert np.array_equal(up, img[:2, :2].repeat(2, 0).repeat(2, 1))
+
+
+def test_resize_images_df(spark):
+    """DataFrame resize op: decodable payloads get a PPM re-encode of
+    the resized pixels + original dims; junk payloads → NULLs and the
+    row still flows."""
+    import numpy as np
+
+    from memorious_spark.operators.multimodal import (
+        decode_image, encode_ppm, resize_image, resize_images,
+    )
+
+    img = (np.arange(4 * 6 * 3) % 256).astype(np.uint8).reshape(4, 6, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img))), (2, bytearray(b"not an image")), (3, None)],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in resize_images(df, 3, 2).collect()}
+    assert got[1].orig_w == 6 and got[1].orig_h == 4
+    assert np.array_equal(
+        decode_image(bytes(got[1].resized)), resize_image(img, 3, 2)
+    )
+    assert got[2].resized is None and got[2].orig_w is None
+    assert got[3].resized is None
+
+
+def test_sample_frames_df(spark):
+    """Frame sampling explodes one row per kept frame (0, n, 2n, …),
+    skips undecodable payloads, and re-encodes exact frame bytes."""
+    import numpy as np
+    import pytest as _pt
+
+    from memorious_spark.operators.multimodal import (
+        decode_image, encode_ppm, sample_frames,
+    )
+
+    frames = [
+        ((np.arange(2 * 2 * 3) * (k + 1)) % 256).astype(np.uint8).reshape(2, 2, 3)
+        for k in range(5)
+    ]
+    vid = b"".join(encode_ppm(f) for f in frames)
+    df = spark.createDataFrame(
+        [(10, bytearray(vid)), (11, bytearray(b"junk")), (12, None)],
+        "media_id long, payload binary",
+    )
+    rows = sample_frames(df, every_n=2).collect()
+    got = {(r.media_id, r.frame_idx): r for r in rows}
+    assert set(got) == {(10, 0), (10, 2), (10, 4)}
+    for idx in (0, 2, 4):
+        r = got[(10, idx)]
+        assert r.width == 2 and r.height == 2
+        assert np.array_equal(decode_image(bytes(r.frame)), frames[idx])
+    with _pt.raises(ValueError, match="every_n"):
+        sample_frames(df, every_n=0)

@@ -270,3 +270,55 @@ def test_clean_html_stage_rewrites_and_rehashes(spark, corpus, tmp_path):
         assert "<img" not in row["text"]
         checked += 1
     assert checked > 10
+
+
+def test_prioritize_yaml_wiring_and_equivalent_seen_set(spark, corpus, tmp_path):
+    """`fetch.params.prioritize: pagerank` parses, an unknown scheme is
+    rejected at load, and a budgeted prioritized crawl reaches exactly
+    the same URL-seen set as FIFO (prioritization reorders dequeue,
+    never changes reachability) while actually engaging (some frontier
+    row carries a negative link-authority priority)."""
+    import dataclasses
+
+    from memorious_spark.plans.pipeline import load_config
+
+    y = _yaml(SEED_INIT, extra="")
+    import yaml as _y
+
+    spec = _y.safe_load(y)
+    spec["pipeline"]["fetch"]["params"]["prioritize"] = "pagerank"
+    spec["pipeline"]["fetch"]["params"]["rank_iters"] = 2
+    cfg = load_config(spec)
+    assert cfg.prioritize == "pagerank" and cfg.rank_iters == 2
+
+    spec["pipeline"]["fetch"]["params"]["prioritize"] = "hilbert"
+    with pytest.raises(ValueError, match="prioritize"):
+        load_config(spec)
+
+    cfg_b = dataclasses.replace(cfg, budget_per_host=2, max_rounds=60)
+    store_p = RunStore(tmp_path / "runs_p", "init_crawl", "runP")
+    res_p = CrawlRunner(spark, cfg_b, store_p).run(corpus)
+    store_f = RunStore(tmp_path / "runs_f", "init_crawl", "runF")
+    res_f = CrawlRunner(
+        spark, dataclasses.replace(cfg_b, prioritize=None), store_f
+    ).run(corpus)
+    assert res_p.status == res_f.status == "done"
+
+    def seen(store):
+        urls = set()
+        for r in range(60):
+            df = store.read_round(spark, "frontier", r)
+            if df is None:
+                break
+            urls |= {x.url for x in df.select("url").collect()}
+        return urls
+
+    assert seen(store_p) == seen(store_f)
+    # ranking engaged: some parked/selected row got a negative priority
+    pri = []
+    for r in range(2, 60):
+        df = store_p.read_round(spark, "frontier", r)
+        if df is None:
+            break
+        pri.extend(x.priority for x in df.select("priority").collect())
+    assert any(p < 0 for p in pri), "pagerank priority never engaged"
