@@ -1379,6 +1379,34 @@ pipeline:
         mirrored text that whole-doc MinHash misses."""
         return dedup.duplicate_span_fraction(_docs(spark, sf_dir), k=SPAN_K)
 
+    def paragraph_dedup_op(spark, sf_dir):
+        """CCNet paragraph dedup (Wenzek et al. 2020): one corpus-wide
+        copy per normalized paragraph, first (doc, idx) occurrence
+        wins. The flat synthetic docs carry no newlines, so paragraphs
+        are synthesized deterministically (same construction in the
+        oracle): head-60-chars ⏎ a shared-by-residue paragraph ⏎ the
+        tail — the shared paragraph must survive only in its first
+        host document."""
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 60),
+                F.lit("\n"),
+                F.lit("shared para "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("\n"),
+                F.expr("substring(text, 61)"),
+            ).alias("text"),
+        )
+        return dedup.paragraph_dedup(d)
+
+    def span_dedup_rewrite(spark, sf_dir):
+        """Exact-substring span REMOVAL (Lee et al. 2021): every
+        duplicated k-token window keeps its corpus-first copy, covered
+        tokens are cut everywhere else, documents come back rewritten
+        (never dropped) with removal counts."""
+        return dedup.remove_duplicate_spans(_docs(spark, sf_dir), k=SPAN_K)
+
     def clean_html_op(spark, sf_dir):
         """Rows-only check: clean_html over corpus pages, new hash."""
         from memorious_spark.operators.parse import clean_html_udf
@@ -1478,6 +1506,8 @@ pipeline:
         "hash_split": hash_split_op,
         "dsir_weights": dsir_weights,
         "span_dup_frac": span_dup_frac,
+        "paragraph_dedup": paragraph_dedup_op,
+        "span_dedup_rewrite": span_dedup_rewrite,
         "warc_roundtrip": warc_roundtrip,
         "media_decode_wav": media_decode_wav,
         "doc_fingerprint": doc_fingerprint,
@@ -2241,6 +2271,91 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0.0::DOUBLE END), 6) AS dup_frac
             FROM sp JOIN dfq USING (h)
             GROUP BY sp.doc_id
+        """,
+        # CCNet paragraph dedup over the synthesized 3-paragraph text:
+        # fingerprint-normalized hash, row_number-first keeper in
+        # (doc_id, idx) order, docs with zero kept paragraphs fall out
+        "paragraph_dedup": """
+            WITH d AS (
+              SELECT doc_id,
+                     substr(text, 1, 60) || chr(10) || 'shared para ' ||
+                     (doc_id % 7) || chr(10) || substr(text, 61) AS text
+              FROM documents
+            ),
+            parts AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ps FROM d
+            ),
+            p AS (
+              SELECT doc_id, i - 1 AS idx, ps[i] AS para,
+                     md5(trim(regexp_replace(lower(ps[i]), '\\s+', ' ', 'g')))
+                       AS h
+              FROM parts, LATERAL unnest(generate_series(1, len(ps))) AS u(i)
+              WHERE trim(ps[i]) <> ''
+            ),
+            r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, idx) AS rn,
+                     count(*) OVER (PARTITION BY doc_id) AS n_paras
+              FROM p
+            )
+            SELECT doc_id,
+                   string_agg(para, chr(10) ORDER BY idx) AS text,
+                   any_value(n_paras) AS n_paras,
+                   count(*) AS n_kept
+            FROM r WHERE rn = 1
+            GROUP BY doc_id
+        """,
+        # span removal: same truncating k-window convention as
+        # span_dup_frac; count with multiplicity, (doc, pos)-first copy
+        # survives, covered token indices union, text rebuilt in order
+        "span_dedup_rewrite": f"""
+            WITH tok AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS toks
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id, i - 1 AS idx, toks[i] AS tk
+              FROM tok, LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+            ),
+            w AS (
+              SELECT doc_id, j - 1 AS j0, len(toks) AS n,
+                     md5(array_to_string(
+                       list_slice(toks, j, j + {SPAN_K - 1}), ' ')) AS h
+              FROM tok, LATERAL unnest(
+                generate_series(1, greatest(len(toks) - {SPAN_K - 1}, 1))
+              ) AS u(j)
+            ),
+            w2 AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY h) AS cnt,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, j0) AS rn
+              FROM w
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id, g.idx
+              FROM w2, LATERAL unnest(
+                generate_series(j0, least(j0 + {SPAN_K - 1}, n - 1))
+              ) AS g(idx)
+              WHERE cnt >= 2 AND rn > 1
+            ),
+            kept AS (
+              SELECT t.doc_id, t.idx, t.tk
+              FROM t LEFT JOIN cov
+                ON t.doc_id = cov.doc_id AND t.idx = cov.idx
+              WHERE cov.idx IS NULL
+            ),
+            reb AS (
+              SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) AS text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(r.text, '') AS text,
+                   len(string_split(trim(d.text), ' ')) AS n_tokens,
+                   len(string_split(trim(d.text), ' '))
+                     - coalesce(r.n_kept, 0) AS n_removed
+            FROM documents d LEFT JOIN reb r USING (doc_id)
         """,
         # byte-exact archival: md5 of the utf-8 payload the WARC round
         # trip must reproduce

@@ -256,6 +256,23 @@ def run_worker(
             lambda: dedup.duplicate_span_fraction(docs, k=5)
             .agg(F.avg("dup_frac")).collect()
         ),
+        "paragraph_dedup": timed(
+            lambda: dedup.paragraph_dedup(
+                docs.select(
+                    "doc_id",
+                    F.concat(
+                        F.substring("text", 1, 60), F.lit("\n"),
+                        F.lit("shared para "),
+                        (F.col("doc_id") % 7).cast("string"),
+                        F.lit("\n"), F.expr("substring(text, 61)"),
+                    ).alias("text"),
+                )
+            ).agg(F.sum("n_kept")).collect()
+        ),
+        "span_dedup_rewrite": timed(
+            lambda: dedup.remove_duplicate_spans(docs, k=5)
+            .agg(F.sum("n_removed")).collect()
+        ),
     }
     if not skip_queries:
         emb.unpersist()

@@ -46,6 +46,8 @@ __all__ = [
     "strip_boilerplate_lines",
     "semantic_dedup",
     "duplicate_span_fraction",
+    "paragraph_dedup",
+    "remove_duplicate_spans",
 ]
 
 
@@ -1125,4 +1127,167 @@ def duplicate_span_fraction(
             ).alias("dup_frac"),
         )
         .select(F.col("id").alias(id_col), "n_spans", "dup_frac")
+    )
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet paragraph-level deduplication (Wenzek et al. 2020,
+    arXiv:1911.00359 §3.1): hash every normalized paragraph and keep
+    exactly ONE copy corpus-wide — the first occurrence in
+    ``(id, paragraph_index)`` order; later copies are removed from
+    their documents. This is the dedup BETWEEN whole-document near-dup
+    (MinHash) and line-frequency boilerplate
+    (:func:`strip_boilerplate_lines`, which cuts hot lines from every
+    doc including the first): mirrored article bodies, syndicated
+    press paragraphs, quoted licence blocks keep one canonical copy.
+
+    Paragraphs are newline-separated segments; the dedup key is the
+    fingerprint normalization (lower → collapse whitespace → trim —
+    :func:`~memorious_spark.functions.textops.fingerprint`) so
+    reflowed copies collide. Empty/whitespace-only paragraphs are
+    dropped. Returns ``(id_col, text_col, n_paras, n_kept)`` with the
+    kept paragraphs re-joined by ``\\n`` in original order; a document
+    whose every paragraph was seen earlier (or was blank) falls out of
+    the result entirely — the CCNet drop.
+
+    Scale posture: the keeper per hash is a ``min(struct(id, idx))``
+    AGGREGATE (map-side combined — a paragraph duplicated 10^6×
+    collapses to one row per map task), never a window sort (a hot
+    hash would pin one task; AQE can split a skewed join but not a
+    skewed window partition). Two key shuffles total: postings⋈keepers
+    on the hash, then the regroup by id.
+    """
+    para_norm = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("_para")), r"\s+", " "))
+    )
+    paras = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "_idx", "_para"
+            ),
+        )
+        .filter(F.trim(F.col("_para")) != "")
+        .withColumn("_h", para_norm)
+    )
+    keepers = paras.groupBy("_h").agg(
+        F.min(F.struct("_id", "_idx")).alias("_kp")
+    )
+    kept = paras.join(keepers, "_h").filter(
+        F.struct("_id", "_idx") == F.col("_kp")
+    )
+    counts = paras.groupBy("_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_para"))),
+                lambda s: s["_para"],
+            ),
+            "\n",
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return rebuilt.join(counts, "_id").select(
+        F.col("_id").alias(id_col), text_col, "n_paras", "n_kept"
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring span REMOVAL (Lee et al. 2021,
+    arXiv:2107.06499 §4: delete repeated substrings, keep one
+    occurrence) — the surgical sibling of
+    :func:`duplicate_span_fraction`, which only scores. Every k-token
+    window whose text occurs more than once in the corpus (with
+    multiplicity, same-document repeats included) is removed EXCEPT
+    its first occurrence in ``(id, window_position)`` order; a
+    document's surviving tokens are re-joined by a single space.
+
+    Windows use the corpus shingle convention (``split(trim(text),
+    ' ')``; texts shorter than k yield one truncated window), so the
+    DuckDB twin is exact. Returns the full document list —
+    ``(id_col, text_col, n_tokens, n_removed)``; a document that was
+    entirely assembled from elsewhere-kept spans comes back with
+    ``text = ''`` (the caller drops or flags it), never silently
+    vanishes.
+
+    Scale posture (the paper's method needs a single-machine suffix
+    array; this is all bucketed shuffles): (1) window stream →
+    ``groupBy(hash)`` computing ``(count, min(struct(id, pos)))`` —
+    map-side combined, hot spans collapse per task; (2) windows ⋈ that
+    table on the span hash — skew is data-borne repetition, exactly
+    what AQE's skew split absorbs; (3) covered-index explode is
+    O(k · removed windows) slim int pairs, distinct + anti-join + the
+    final regroup all shuffle on the id — co-partitioned by AQE.
+    Nothing driver-side.
+    """
+    toks_arr = F.split(F.trim(F.col(text_col)), " ")
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    toks = base.select(
+        "_id",
+        F.posexplode(F.split(F.trim(F.col("_text")), " ")).alias(
+            "_idx", "_tok"
+        ),
+    )
+    wins = base.select(
+        "_id",
+        F.size(F.split(F.trim(F.col("_text")), " ")).alias("_n"),
+        F.posexplode(shingles(F.col("_text"), k)).alias("_j", "_s"),
+    ).select("_id", "_n", "_j", F.md5(F.col("_s")).alias("_h"))
+    span_tbl = wins.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min(F.struct("_id", "_j")).alias("_kp"),
+    )
+    removed = (
+        wins.join(span_tbl, "_h")
+        .filter(
+            (F.col("_cnt") >= 2)
+            & (F.struct("_id", "_j") != F.col("_kp"))
+        )
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(
+                    F.col("_j"),
+                    F.least(F.col("_j") + F.lit(k - 1), F.col("_n") - 1),
+                )
+            ).alias("_idx"),
+        )
+        .distinct()
+    )
+    survivors = toks.join(removed, ["_id", "_idx"], "left_anti")
+    rebuilt = survivors.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(toks_arr).alias("n_tokens"),
+        )
+        .join(rebuilt, F.col(id_col) == rebuilt["_id"], "left")
+        .select(
+            id_col,
+            F.coalesce("_clean", F.lit("")).alias(text_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
     )

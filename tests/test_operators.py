@@ -1657,3 +1657,57 @@ def test_sample_frames_df(spark):
         assert np.array_equal(decode_image(bytes(r.frame)), frames[idx])
     with _pt.raises(ValueError, match="every_n"):
         sample_frames(df, every_n=0)
+
+
+def test_paragraph_dedup_first_occurrence_semantics(spark):
+    """CCNet paragraph dedup: normalized-hash collision keeps only the
+    (doc_id, idx)-first copy; blank paragraphs drop; a fully-duplicated
+    doc falls out; within-doc repeats keep the earlier one."""
+    from memorious_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (0, "alpha beta\nshared para\ngamma"),
+        (1, "SHARED   PARA\nunique one\nunique one"),  # reflowed copy + self-repeat
+        (2, "shared para"),                            # fully duplicated -> drops
+        (3, "   \n\ndelta"),                           # blanks drop, delta kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert set(got) == {0, 1, 3}
+    assert got[0].text == "alpha beta\nshared para\ngamma"
+    assert (got[0].n_paras, got[0].n_kept) == (3, 3)
+    # doc 1: its 'SHARED PARA' lost to doc 0's copy; second 'unique one'
+    # lost to the first
+    assert got[1].text == "unique one"
+    assert (got[1].n_paras, got[1].n_kept) == (3, 1)
+    assert got[3].text == "delta" and got[3].n_paras == 1
+
+
+def test_remove_duplicate_spans_hand_math(spark):
+    """k=2 windows: the shared span keeps its (doc,pos)-first copy and
+    is cut everywhere else; covered indices union over overlapping
+    windows; fully-covered docs return text='' (never vanish); short
+    texts use one truncated window."""
+    from memorious_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        (0, "a b c d"),   # windows: 'a b','b c','c d'
+        (1, "x a b y"),   # 'x a','a b','b y' — 'a b' dup, keeper is doc 0
+        (2, "a b"),       # one window 'a b' — dup, fully covered -> ''
+        (3, "q r s"),     # no shared spans
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_duplicate_spans(docs, k=2).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0].text == "a b c d" and got[0].n_removed == 0
+    # doc 1 loses tokens 1..2 ('a b'), keeps 'x' and 'y'
+    assert got[1].text == "x y"
+    assert (got[1].n_tokens, got[1].n_removed) == (4, 2)
+    assert got[2].text == "" and got[2].n_removed == 2
+    assert got[3].text == "q r s" and got[3].n_removed == 0
+
+    # within-doc multiplicity: 'p p p' with k=2 -> windows 'p p' twice;
+    # second window (pos 1) removed, covering tokens 1,2 -> kept 'p'
+    one = spark.createDataFrame([(9, "p p p")], "doc_id long, text string")
+    r9 = remove_duplicate_spans(one, k=2).collect()[0]
+    assert r9.text == "p" and r9.n_tokens == 3 and r9.n_removed == 2
