@@ -1407,6 +1407,43 @@ pipeline:
         (never dropped) with removal counts."""
         return dedup.remove_duplicate_spans(_docs(spark, sf_dir), k=SPAN_K)
 
+    def url_traps(spark, sf_dir):
+        """Crawler-trap decide rules (Heritrix pathological-path /
+        too-many-segments / query-blowup / length): URLs synthesized
+        by doc_id residue (clean, segment-run, deep-path, query-bomb,
+        over-long — same construction in the oracle), scored by the
+        pure-Column trap signals that gate the frontier under
+        `fetch.params.traps: true`."""
+        from memorious_spark.functions.urls import is_trap_col, trap_signals
+
+        m = F.col("doc_id") % 5
+        did = F.col("doc_id").cast("string")
+        base = F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        )
+        url = (
+            F.when(m == 0, F.concat(base, F.lit("/doc/"), did))
+            .when(m == 1, F.concat(base, F.lit("/cal/cal/cal/"), did))
+            .when(m == 2, F.concat(
+                base, F.lit("/"), F.expr("repeat('d/', 21)"), did))
+            .when(m == 3, F.concat(
+                base, F.lit("/p?"),
+                F.expr("repeat('k=v&', 16)"), F.lit("k=v")))
+            .otherwise(F.concat(
+                base, F.lit("/"), F.expr("repeat('x', 2050)")))
+        )
+        d = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+        s = trap_signals(F.col("url"))
+        return d.select(
+            "doc_id",
+            s["n_segments"].alias("n_segments"),
+            s["max_seg_run"].alias("max_seg_run"),
+            s["n_qparams"].alias("n_qparams"),
+            s["url_len"].alias("url_len"),
+            is_trap_col(F.col("url")).alias("is_trap"),
+        )
+
     def clean_html_op(spark, sf_dir):
         """Rows-only check: clean_html over corpus pages, new hash."""
         from memorious_spark.operators.parse import clean_html_udf
@@ -1508,6 +1545,7 @@ pipeline:
         "span_dup_frac": span_dup_frac,
         "paragraph_dedup": paragraph_dedup_op,
         "span_dedup_rewrite": span_dedup_rewrite,
+        "url_traps": url_traps,
         "warc_roundtrip": warc_roundtrip,
         "media_decode_wav": media_decode_wav,
         "doc_fingerprint": doc_fingerprint,
@@ -2356,6 +2394,76 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(trim(d.text), ' '))
                      - coalesce(r.n_kept, 0) AS n_removed
             FROM documents d LEFT JOIN reb r USING (doc_id)
+        """,
+        # crawler-trap decide rules over the same synthesized URL mix;
+        # max_seg_run via gaps-and-islands (RE2 has no backreferences,
+        # so the run-length is list logic on both engines)
+        "url_traps": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE doc_id % 5
+                  WHEN 0 THEN '/doc/' || doc_id
+                  WHEN 1 THEN '/cal/cal/cal/' || doc_id
+                  WHEN 2 THEN '/' || repeat('d/', 21) || doc_id
+                  WHEN 3 THEN '/p'
+                  ELSE '/' || repeat('x', 2050)
+                END AS path,
+                CASE doc_id % 5
+                  WHEN 3 THEN repeat('k=v&', 16) || 'k=v'
+                  ELSE NULL
+                END AS q,
+                'https://h' || (doc_id % 7) || '.example.com' AS base
+              FROM documents
+            ),
+            full_u AS (
+              SELECT doc_id, base || path ||
+                     coalesce('?' || q, '') AS url, path, q
+              FROM u
+            ),
+            sg AS (
+              SELECT doc_id,
+                     list_filter(string_split(path, '/'),
+                                 x -> x <> '') AS sl
+              FROM full_u
+            ),
+            segs AS (
+              SELECT doc_id, sl[i] AS seg, i
+              FROM sg, LATERAL unnest(
+                generate_series(1, len(sl))) AS t(i)
+            ),
+            isl AS (
+              SELECT doc_id, seg, i,
+                     i - row_number() OVER (
+                       PARTITION BY doc_id, seg ORDER BY i) AS grp
+              FROM segs
+            ),
+            runs AS (
+              SELECT doc_id, max(cnt) AS max_run, count(DISTINCT i) AS nseg
+              FROM (
+                SELECT doc_id, seg, grp, count(*) AS cnt,
+                       min(i) AS i
+                FROM isl GROUP BY doc_id, seg, grp
+              ) g2
+              GROUP BY doc_id
+            ),
+            sig AS (
+              SELECT f.doc_id,
+                     coalesce((SELECT count(*) FROM segs s
+                               WHERE s.doc_id = f.doc_id), 0) AS n_segments,
+                     coalesce(r.max_run, 0) AS max_seg_run,
+                     CASE WHEN q IS NULL OR q = '' THEN 0
+                          ELSE len(string_split(q, '&')) END AS n_qparams,
+                     length(url) AS url_len
+              FROM full_u f LEFT JOIN runs r USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(n_segments AS INT) AS n_segments,
+                   CAST(max_seg_run AS INT) AS max_seg_run,
+                   CAST(n_qparams AS INT) AS n_qparams,
+                   CAST(url_len AS INT) AS url_len,
+                   (n_segments > 20 OR max_seg_run > 2
+                    OR n_qparams > 16 OR url_len > 2048) AS is_trap
+            FROM sig
         """,
         # byte-exact archival: md5 of the utf-8 payload the WARC round
         # trip must reproduce

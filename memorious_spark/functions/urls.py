@@ -23,6 +23,8 @@ from urllib.parse import urlsplit, urlunsplit
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from memorious_spark.functions.hof import bind_once
+
 __all__ = [
     "host_col",
     "norm_col",
@@ -30,6 +32,8 @@ __all__ = [
     "scheme_ok_col",
     "py_host",
     "py_norm",
+    "trap_signals",
+    "is_trap_col",
 ]
 
 
@@ -97,3 +101,82 @@ def py_norm(url: str) -> str | None:
     hostport = host if port in (None, default) else f"{host}:{port}"
     path = parts.path or "/"
     return urlunsplit((scheme, hostport, path, parts.query, ""))
+
+
+def trap_signals(url: Column) -> dict[str, Column]:
+    """Crawler-trap signals for a URL column — the standard decide-rule
+    family every production crawler gates its frontier with (Heritrix's
+    PathologicalPathDecideRule / TooManyPathSegmentsDecideRule /
+    TooLongDecideRule; the reference has no frontier so it never needed
+    them, but a 10^10-URL frontier fills with calendar pages and
+    session-id loops without these).
+
+    Returns pure-Column signals (all codegen-friendly, shareable
+    through one bound segment array):
+
+    - ``n_segments``   — path segments (empty segments from ``//`` and
+      the leading ``/`` excluded)
+    - ``max_seg_run``  — longest CONSECUTIVE run of one repeated path
+      segment (``/a/b/a/b`` is fine; ``/a/a/a`` is a run of 3 — the
+      pathological-path signal; backreference-free so the DuckDB twin
+      is exact, RE2 has no backrefs)
+    - ``n_qparams``    — query parameters (``&``-separated)
+    - ``url_len``      — total URL string length
+    """
+    path = F.parse_url(url, F.lit("PATH"))
+    segs = F.filter(
+        F.split(F.coalesce(path, F.lit("")), "/"), lambda s: s != ""
+    )
+    query = F.parse_url(url, F.lit("QUERY"))
+
+    def run_len(s: Column) -> Column:
+        n = F.size(s)
+        # longest run ending at i, folded left to right: the aggregate
+        # state is (current_run, best_run); one pass, no re-split
+        state = F.aggregate(
+            F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+            F.struct(
+                F.lit(1).alias("cur"),
+                F.least(n, F.lit(1)).alias("best"),
+            ),
+            lambda acc, i: F.when(
+                (i <= n)
+                & (F.element_at(s, i) == F.element_at(s, i - 1)),
+                F.struct(
+                    (acc["cur"] + 1).alias("cur"),
+                    F.greatest(acc["cur"] + 1, acc["best"]).alias("best"),
+                ),
+            ).otherwise(
+                F.struct(F.lit(1).alias("cur"), acc["best"].alias("best"))
+            ),
+        )
+        return state["best"]
+
+    return {
+        "n_segments": bind_once(segs, F.size),
+        "max_seg_run": bind_once(segs, run_len),
+        "n_qparams": F.when(query.isNull() | (query == ""), F.lit(0)).otherwise(
+            F.size(F.split(query, "&"))
+        ),
+        "url_len": F.length(url),
+    }
+
+
+def is_trap_col(
+    url: Column,
+    max_segments: int = 20,
+    max_seg_run: int = 2,
+    max_qparams: int = 16,
+    max_len: int = 2048,
+) -> Column:
+    """True when any trap signal fires — the frontier gate. Defaults
+    follow Heritrix's shipped decide-rules: >20 path segments, a path
+    segment repeated ≥3× consecutively, plus query-blowup and raw
+    length caps for session-id/calendar loops."""
+    s = trap_signals(url)
+    return (
+        (s["n_segments"] > max_segments)
+        | (s["max_seg_run"] > max_seg_run)
+        | (s["n_qparams"] > max_qparams)
+        | (s["url_len"] > max_len)
+    )

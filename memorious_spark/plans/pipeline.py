@@ -91,6 +91,12 @@ class CrawlConfig:
     # reference's FIFO order, and the crawl-order oracles require it.
     prioritize: str | None = None
     rank_iters: int = 3
+    # crawler-trap frontier gate (functions/urls.py trap_signals —
+    # Heritrix's pathological-path/too-many-segments decide-rule
+    # family; no reference analogue, a single-site crawler never fills
+    # its queue with calendar loops). Off by default: the crawl-order
+    # oracles enumerate every link, traps included.
+    trap_filter: bool = False
     # generator init stage (initializers.py:21-109): method + params of
     # a sequence/dates/enumerate init, and the %-templated seed urls
     # its items format into (flattened over tee branches in handler
@@ -235,6 +241,7 @@ def load_config(spec: dict) -> CrawlConfig:
     inspect_enabled = False
     clean_paths: tuple[str, ...] | None = None
     prioritize, rank_iters = None, 3
+    trap_filter = False
     for stage in stages.values():
         method = stage.get("method")
         params = stage.get("params") or {}
@@ -251,6 +258,7 @@ def load_config(spec: dict) -> CrawlConfig:
                     "(supported: pagerank)"
                 )
             rank_iters = int(params.get("rank_iters", 3))
+            trap_filter = bool(params.get("traps", False))
         elif method == "extract":
             extract_enabled = True
             extract_wildcard = params.get("wildcard")
@@ -337,4 +345,5 @@ def load_config(spec: dict) -> CrawlConfig:
         clean_html_paths=clean_paths,
         prioritize=prioritize,
         rank_iters=rank_iters,
+        trap_filter=trap_filter,
     )

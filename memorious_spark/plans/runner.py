@@ -506,6 +506,13 @@ class CrawlRunner:
             cands = extract_links_df(parsed.filter(F.col("_emit"))).filter(
                 scheme_ok_col(F.col("url"))
             )
+            if cfg.trap_filter:
+                # crawler-trap gate (Heritrix decide-rule family): drop
+                # pathological links BEFORE norm/hash/dedup — a trap
+                # chain otherwise grows the frontier round over round
+                from memorious_spark.functions.urls import is_trap_col
+
+                cands = cands.filter(~is_trap_col(F.col("url")))
             if cfg.sampling_rate is not None and cfg.sampling_rate < 1.0:
                 # DEBUG emit sampling (context.py:56-61: emit proceeds
                 # with probability p); seeded for reproducibility

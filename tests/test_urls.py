@@ -47,3 +47,44 @@ def test_hash_col_deterministic(spark):
     h1 = df.select(urls.hash_col(F.col("url")).alias("h")).first()["h"]
     h2 = df.select(urls.hash_col(F.col("url")).alias("h")).first()["h"]
     assert h1 == h2 and isinstance(h1, int)
+
+
+def test_trap_signals_hand_urls(spark):
+    """Heritrix decide-rule family: pathological consecutive-segment
+    runs, segment-count cap, query blowup, raw length — each signal
+    hand-checked; alternating /a/b/a/b never fires (runs only)."""
+    from pyspark.sql import functions as F
+
+    from memorious_spark.functions.urls import is_trap_col, trap_signals
+
+    urls = [
+        ("clean", "https://a.com/x/y/z", False),
+        ("run3", "https://a.com/a/a/a/page", True),
+        ("alternating", "https://a.com/a/b/a/b/a/b", False),
+        ("deep", "https://a.com/" + "/".join(f"s{i}" for i in range(25)), True),
+        ("fewparams", "https://a.com/p?a=1&b=2", False),
+        ("qblowup", "https://a.com/p?" + "&".join(f"k{i}=v" for i in range(20)), True),
+        ("long", "https://a.com/" + "x" * 3000, True),
+        ("root", "https://a.com/", False),
+        ("emptysegs", "https://a.com//x//x", False),  # '' segs excluded
+    ]
+    df = spark.createDataFrame(
+        [(n, u, t) for n, u, t in urls], "name string, url string, want boolean"
+    )
+    s = trap_signals(F.col("url"))
+    got = {
+        r.name: r
+        for r in df.select(
+            "name", "want",
+            *[v.alias(k) for k, v in s.items()],
+            is_trap_col(F.col("url")).alias("trap"),
+        ).collect()
+    }
+    for name, _, want in urls:
+        assert got[name].trap == want, (name, got[name])
+    assert got["run3"].max_seg_run == 3
+    assert got["alternating"].max_seg_run == 1
+    assert got["deep"].n_segments == 25
+    assert got["qblowup"].n_qparams == 20
+    assert got["root"].n_segments == 0 and got["root"].max_seg_run == 0
+    assert got["emptysegs"].n_segments == 2 and got["emptysegs"].max_seg_run == 2

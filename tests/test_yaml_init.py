@@ -322,3 +322,76 @@ def test_prioritize_yaml_wiring_and_equivalent_seen_set(spark, corpus, tmp_path)
             break
         pri.extend(x.priority for x in df.select("priority").collect())
     assert any(p < 0 for p in pri), "pagerank priority never engaged"
+
+
+def test_trap_filter_gates_frontier(spark, tmp_path):
+    """`fetch.params.traps: true` drops pathological links before they
+    enter the frontier: the trap page is never fetched, every clean
+    page still is, and with the gate off the same crawl walks into the
+    trap (proving the corpus would have served it)."""
+    import datetime
+
+    from memorious_spark.plans.pipeline import load_yaml
+
+    trap_url = "https://t.example.com/cal/cal/cal/2026"
+
+    def page(url, hrefs):
+        body = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return (
+            url, datetime.datetime(2026, 1, 1),
+            bytearray(f"<html><body>{body}</body></html>".encode()),
+            "t", "en", "text/html", 200, None,
+        )
+
+    corpus = spark.createDataFrame(
+        [
+            page("https://t.example.com/doc/1",
+                 ["https://t.example.com/doc/2", trap_url]),
+            page("https://t.example.com/doc/2", []),
+            page(trap_url, []),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, content_type string, status_code int, "
+        "redirect_to string",
+    )
+
+    def run(traps, tag):
+        y = f"""
+name: trapdemo
+max_rounds: 10
+pipeline:
+  init:
+    method: seed
+    params: {{urls: ["https://t.example.com/doc/1"]}}
+    handle: {{pass: fetch}}
+  fetch:
+    method: fetch
+    params: {{retry: 1, traps: {str(traps).lower()}, rules: {{mime_group: web}}}}
+    handle: {{pass: parse}}
+  parse:
+    method: parse
+    params:
+      store: {{mime_type: "text/html"}}
+    handle: {{store: store, fetch: fetch}}
+  store:
+    method: directory
+    params: {{}}
+"""
+        cfg = load_yaml(y)
+        assert cfg.trap_filter is traps
+        store = RunStore(tmp_path / f"runs_{tag}", "trapdemo", "r1")
+        res = CrawlRunner(spark, cfg, store).run(corpus)
+        assert res.status == "done"
+        urls = set()
+        for r in range(10):
+            df = store.read_round(spark, "frontier", r)
+            if df is None:
+                break
+            urls |= {x.url for x in df.select("url").collect()}
+        return urls
+
+    with_gate = run(True, "on")
+    without_gate = run(False, "off")
+    assert trap_url in without_gate
+    assert trap_url not in with_gate
+    assert with_gate == without_gate - {trap_url}
