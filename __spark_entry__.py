@@ -1444,6 +1444,58 @@ pipeline:
             is_trap_col(F.col("url")).alias("is_trap"),
         )
 
+    def sitemap_locs(spark, sf_dir):
+        """Sitemap ingestion (sitemaps.org): a namespaced urlset XML is
+        synthesized per document, routed through the REAL stdlib XML
+        parse (htmlkit.parse_sitemap, Arrow-batched), locs exploded in
+        document order. The oracle recomputes the locs closed-form —
+        the media_decode_wav pattern: engine runs the decoder, oracle
+        knows the generator."""
+        import pandas as pd
+
+        from memorious_spark.functions.htmlkit import parse_sitemap
+        from memorious_spark.session import ship_package
+
+        ship_package(spark)
+        did = F.col("doc_id").cast("string")
+        host = F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        )
+        n_locs = (F.col("doc_id") % 3 + 1).cast("int")
+        xml = F.concat(
+            F.lit('<?xml version="1.0"?><urlset xmlns='
+                  '"http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.aggregate(
+                F.sequence(F.lit(0), n_locs - 1),
+                F.lit(""),
+                lambda acc, i: F.concat(
+                    acc, F.lit("<url><loc> "), host, F.lit("/p/"), did,
+                    F.lit("/"), i.cast("string"), F.lit(" </loc></url>"),
+                ),
+            ),
+            F.lit("</urlset>"),
+        )
+        d = _docs(spark, sf_dir).select("doc_id", xml.alias("xml"))
+
+        def gen(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "locs": pdf["xml"].map(parse_sitemap),
+                    }
+                )
+
+        return (
+            d.mapInPandas(gen, "doc_id long, locs array<string>")
+            .select(
+                "doc_id",
+                F.posexplode("locs").alias("loc_idx", "loc"),
+            )
+            .select("doc_id", F.col("loc_idx").cast("int"), "loc")
+        )
+
     def clean_html_op(spark, sf_dir):
         """Rows-only check: clean_html over corpus pages, new hash."""
         from memorious_spark.operators.parse import clean_html_udf
@@ -1546,6 +1598,7 @@ pipeline:
         "paragraph_dedup": paragraph_dedup_op,
         "span_dedup_rewrite": span_dedup_rewrite,
         "url_traps": url_traps,
+        "sitemap_locs": sitemap_locs,
         "warc_roundtrip": warc_roundtrip,
         "media_decode_wav": media_decode_wav,
         "doc_fingerprint": doc_fingerprint,
@@ -2394,6 +2447,15 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(trim(d.text), ' '))
                      - coalesce(r.n_kept, 0) AS n_removed
             FROM documents d LEFT JOIN reb r USING (doc_id)
+        """,
+        # closed-form twin of the sitemap generator: the engine parses
+        # real XML, the oracle recomputes the loc layout directly
+        "sitemap_locs": """
+            SELECT doc_id, CAST(i AS INT) AS loc_idx,
+                   'https://h' || (doc_id % 7) || '.example.com/p/' ||
+                   doc_id || '/' || i AS loc
+            FROM documents,
+                 LATERAL unnest(generate_series(0, doc_id % 3)) AS t(i)
         """,
         # crawler-trap decide rules over the same synthesized URL mix;
         # max_seg_run via gaps-and-islands (RE2 has no backreferences,

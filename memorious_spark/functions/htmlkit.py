@@ -392,3 +392,34 @@ def view_form_fields(
             continue
         out[name] = inp.get("value", "")
     return out
+
+
+def parse_sitemap(text: str | None) -> list[str]:
+    """``<loc>`` URLs from a sitemap document (sitemaps.org protocol):
+    both ``<urlset>`` page lists and ``<sitemapindex>`` child-sitemap
+    lists, namespace-agnostic (real sitemaps carry the
+    ``http://www.sitemaps.org/schemas/sitemap/0.9`` xmlns; many hand-
+    written ones don't). Order preserved (document order — the
+    frontier's deterministic link_idx); whitespace inside ``<loc>``
+    trimmed per spec. Unparseable/non-sitemap XML → ``[]`` (the
+    tolerant-parse posture of the rest of this module). The reference
+    never reads sitemaps (single-site YAML crawls seed explicit URLs);
+    a frontier crawler gets its cheapest high-quality seeds here."""
+    if not text:
+        return []
+    from xml.etree.ElementTree import fromstring
+
+    try:
+        root = fromstring(text)
+    except Exception:
+        return []
+    tag = root.tag.rsplit("}", 1)[-1].lower()
+    if tag not in ("urlset", "sitemapindex"):
+        return []
+    out: list[str] = []
+    for el in root.iter():
+        if el.tag.rsplit("}", 1)[-1].lower() == "loc" and el.text:
+            loc = el.text.strip()
+            if loc:
+                out.append(loc)
+    return out

@@ -24,6 +24,9 @@ from pyspark.sql.types import StringType
 from memorious_spark.functions import htmlkit
 from memorious_spark.functions.mime import NON_HTML
 
+# sitemap-capable response types (sitemaps.org: served as XML)
+_XML_MIMES = frozenset({"application/xml", "text/xml"})
+
 __all__ = ["ParseConfig", "parse_stage", "extract_links_df"]
 
 
@@ -41,6 +44,10 @@ class ParseConfig:
     include_paths: tuple[str, ...] | None = None
     link_titles: bool = True
     schema: str | None = None
+    # emit <loc> URLs of sitemap XML responses as frontier links
+    # (sitemaps.org protocol; functions/htmlkit.parse_sitemap). The
+    # reference has no sitemap support — frontier crawlers do.
+    sitemaps: bool = False
 
 
 # links come back as PARALLEL FLAT ARRAYS (url[i], title[i]); the
@@ -82,6 +89,7 @@ def parse_stage(
     include = list(config.include_paths) if config.include_paths else None
     link_titles = config.link_titles
     clean_list = list(clean_paths) if clean_paths else None
+    sitemaps = config.sitemaps
 
     keep_cols = [c for c in fetched.columns if c != "html"]
     out_schema = ", ".join(
@@ -123,10 +131,17 @@ def parse_stage(
                     else None
                 )
                 found = htmlkit.extract_links(root, u, include, link_titles)
-                lurls.append([lu for lu, _t, _i in found])
-                ltitles.append(
-                    [lt for _u, lt, _i in found] if link_titles else None
-                )
+                page_urls = [lu for lu, _t, _i in found]
+                page_titles = [lt for _u, lt, _i in found]
+                if sitemaps and mime in _XML_MIMES:
+                    # sitemap face: XML responses carry no <a> anchors,
+                    # links come from <loc> instead — same flat-array
+                    # shape, titles null
+                    locs = htmlkit.parse_sitemap(text)
+                    page_urls.extend(locs)
+                    page_titles.extend([None] * len(locs))
+                lurls.append(page_urls)
+                ltitles.append(page_titles if link_titles else None)
                 if clean_list:
                     # LAST: clean_tree mutates the DOM the extractors
                     # above already consumed; hash = sha1 of the

@@ -288,6 +288,7 @@ def load_config(spec: dict) -> CrawlConfig:
                     else None
                 ),
                 schema=params.get("schema"),
+                sitemaps=bool(params.get("sitemaps", False)),
             )
     # the parse stage's `store` handler names the sink stage; its
     # method+params drive the engine's store step (the reference

@@ -228,3 +228,28 @@ def test_view_form_fields():
         "novalue": "",
     }
     assert hk.view_form_fields(None) == {}
+
+
+def test_parse_sitemap():
+    """sitemaps.org protocol: namespaced urlset, bare sitemapindex,
+    whitespace-trimmed locs, document order; non-sitemap XML / HTML /
+    junk / None all -> []."""
+    from memorious_spark.functions.htmlkit import parse_sitemap
+
+    ns = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc> https://a.com/1 </loc><lastmod>2026-01-01</lastmod></url>"
+        "<url><loc>https://a.com/2</loc></url></urlset>"
+    )
+    assert parse_sitemap(ns) == ["https://a.com/1", "https://a.com/2"]
+    idx = (
+        "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc></sitemap>"
+        "<sitemap><loc>https://a.com/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    assert parse_sitemap(idx) == ["https://a.com/s1.xml", "https://a.com/s2.xml"]
+    assert parse_sitemap("<rss><channel><loc>x</loc></channel></rss>") == []
+    assert parse_sitemap("<html><body>no</body></html>") == []
+    assert parse_sitemap("not xml <") == []
+    assert parse_sitemap(None) == []
+    assert parse_sitemap("") == []

@@ -395,3 +395,95 @@ pipeline:
     assert trap_url in without_gate
     assert trap_url not in with_gate
     assert with_gate == without_gate - {trap_url}
+
+
+def test_sitemap_feeds_frontier(spark, tmp_path):
+    """`parse.params.sitemaps: true`: a seeded sitemap.xml (urlset →
+    sitemapindex chain) feeds its <loc> URLs into the frontier and the
+    listed pages get fetched and stored; with the flag off the same
+    crawl stops at the sitemap (XML carries no anchors)."""
+    import datetime
+
+    from memorious_spark.plans.pipeline import load_yaml
+
+    def xml_page(url, body):
+        return (
+            url, datetime.datetime(2026, 1, 1), bytearray(body.encode()),
+            None, "en", "application/xml", 200, None,
+        )
+
+    def html_page(url):
+        return (
+            url, datetime.datetime(2026, 1, 1),
+            bytearray(b"<html><body>hello</body></html>"),
+            "hello", "en", "text/html", 200, None,
+        )
+
+    idx = ("<sitemapindex><sitemap><loc>https://s.example.com/maps/pages.xml"
+           "</loc></sitemap></sitemapindex>")
+    urlset = ('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc>https://s.example.com/p/1</loc></url>"
+              "<url><loc>https://s.example.com/p/2</loc></url></urlset>")
+    corpus = spark.createDataFrame(
+        [
+            xml_page("https://s.example.com/sitemap.xml", idx),
+            xml_page("https://s.example.com/maps/pages.xml", urlset),
+            html_page("https://s.example.com/p/1"),
+            html_page("https://s.example.com/p/2"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, content_type string, status_code int, "
+        "redirect_to string",
+    )
+
+    def run(flag, tag):
+        y = f"""
+name: mapdemo
+max_rounds: 10
+pipeline:
+  init:
+    method: seed
+    params: {{urls: ["https://s.example.com/sitemap.xml"]}}
+    handle: {{pass: fetch}}
+  fetch:
+    method: fetch
+    params: {{retry: 1, rules: {{mime_group: web}}}}
+    handle: {{pass: parse}}
+  parse:
+    method: parse
+    params:
+      sitemaps: {str(flag).lower()}
+      store: {{mime_type: "text/html"}}
+    handle: {{store: store, fetch: fetch}}
+  store:
+    method: directory
+    params: {{}}
+"""
+        cfg = load_yaml(y)
+        assert cfg.parse.sitemaps is flag
+        store = RunStore(tmp_path / f"runs_{tag}", "mapdemo", "r1")
+        res = CrawlRunner(spark, cfg, store).run(corpus)
+        assert res.status == "done"
+        stored, seen = set(), set()
+        for r in range(10):
+            df = store.read_round(spark, "results", r)
+            if df is not None:
+                stored |= {x.url for x in df.select("url").collect()}
+            fr = store.read_round(spark, "frontier", r)
+            if fr is not None:
+                seen |= {x.url for x in fr.select("url").collect()}
+        return stored, seen
+
+    stored_on, seen_on = run(True, "on")
+    assert seen_on >= {
+        "https://s.example.com/sitemap.xml",
+        "https://s.example.com/maps/pages.xml",
+        "https://s.example.com/p/1",
+        "https://s.example.com/p/2",
+    }
+    assert stored_on == {
+        "https://s.example.com/p/1", "https://s.example.com/p/2",
+    }
+    stored_off, seen_off = run(False, "off")
+    assert stored_off == set()
+    assert seen_off == {"https://s.example.com/sitemap.xml"}
