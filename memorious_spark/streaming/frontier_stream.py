@@ -64,6 +64,7 @@ def run_streaming_crawl(
     now_ts: str = "2024-01-01 00:00:00",
     retry_dir: str | None = None,
     max_retries: int = 3,
+    trap_filter: bool = False,
 ):
     """Continuous crawl ingest: every micro-batch of seed URLs is
     canonicalized, deduped against the persistent seen table, probed
@@ -76,6 +77,11 @@ def run_streaming_crawl(
     via the keyed-state park/release operator: at most ``budget`` urls
     per host per trigger, FIFO, the excess parked in checkpointed
     state and drained on later triggers.
+
+    ``trap_filter`` applies the batch face's crawler-trap gate
+    (functions/urls.is_trap_col — Heritrix decide rules) to every
+    candidate before the seen probe, face parity with
+    ``CrawlConfig.trap_filter``.
 
     ``retry_dir`` gives corpus-miss rows the batch face's retry
     semantics (fetch.py retry-as-rounds): a url that joins NO corpus
@@ -111,8 +117,13 @@ def run_streaming_crawl(
         ).select("url", "emit_seq", "attempt")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        gated = batch_df.filter(scheme_ok_col(F.col("url")))
+        if trap_filter:
+            from memorious_spark.functions.urls import is_trap_col
+
+            gated = gated.filter(~is_trap_col(F.col("url")))
         frontier = (
-            batch_df.filter(scheme_ok_col(F.col("url")))
+            gated
             .withColumn("url_norm", norm_col(F.col("url")))
             .withColumn("url_hash", hash_col(F.col("url_norm")))
             .withColumn("host", host_col(F.col("url")))

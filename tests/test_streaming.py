@@ -306,3 +306,52 @@ def test_streaming_retry_exhaustion_dead_letters(spark, tmp_path):
         ("https://h0.example.com/doc/99", 3)
     ]
     corpus.unpersist()
+
+
+def test_streaming_trap_filter_parity(spark, tmp_path):
+    """Face parity for the crawler-trap gate: a pathological seed URL
+    (segment run of 3) present IN the corpus is dropped before the
+    seen probe when trap_filter=True — never fetched, never marked
+    seen — while clean seeds flow."""
+    import datetime
+
+    trap_url = "https://t.example.com/cal/cal/cal/2026"
+    corpus = spark.createDataFrame(
+        [
+            ("https://t.example.com/doc/1", datetime.datetime(2026, 1, 1),
+             bytearray(b"<html><body>ok</body></html>"), "ok", "en",
+             "text/html", 200, None),
+            (trap_url, datetime.datetime(2026, 1, 1),
+             bytearray(b"<html><body>trap</body></html>"), "trap", "en",
+             "text/html", 200, None),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, content_type string, status_code int, "
+        "redirect_to string",
+    ).persist()
+    corpus.count()
+
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(
+        [("https://t.example.com/doc/1", 0), (trap_url, 1)],
+        "url string, emit_seq long",
+    ).write.parquet(str(seeds_dir / "b1"))
+    q = run_streaming_crawl(
+        spark, stream_seed_source(spark, str(seeds_dir) + "/*"), corpus,
+        out_dir, str(tmp_path / "ckpt"), trap_filter=True,
+    )
+    q.awaitTermination(120)
+    got = {r["final_url"] for r in
+           spark.read.parquet(f"{out_dir}/batch=*").select("final_url").collect()}
+    assert got == {"https://t.example.com/doc/1"}
+    from memorious_spark.functions.urls import hash_col, norm_col
+
+    trap_hash = spark.createDataFrame([(trap_url,)], "url string").select(
+        hash_col(norm_col(F.col("url"))).alias("h")
+    ).collect()[0].h
+    seen = {r["url_hash"] for r in
+            spark.read.parquet(f"{out_dir}/_seen").select("url_hash").collect()}
+    assert trap_hash not in seen and len(seen) == 1
+    corpus.unpersist()
