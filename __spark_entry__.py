@@ -1496,6 +1496,25 @@ pipeline:
             .select("doc_id", F.col("loc_idx").cast("int"), "loc")
         )
 
+    def recrawl_schedule(spark, sf_dir):
+        """Freshness scheduling (Cho & Garcia-Molina 2003): the events
+        stream becomes a fetch history (url per user, content hash
+        flips with event_type), folded into per-URL change counts and
+        the bias-reduced Poisson rate; priority = rate x staleness at
+        the pinned clock. One map-side-combined groupBy, no window."""
+        from memorious_spark.operators.recrawl import recrawl_priority
+
+        ev = _events(spark, sf_dir).select(
+            F.concat(
+                F.lit("https://h"), (F.col("user_id") % 7).cast("string"),
+                F.lit(".example.com/doc/"), F.col("user_id").cast("string"),
+            ).alias("url"),
+            F.col("ts").alias("fetch_ts"),
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit("/"),
+                           F.col("event_type"))).alias("content_hash"),
+        )
+        return recrawl_priority(ev, now_ts="2026-06-01 00:00:00")
+
     def clean_html_op(spark, sf_dir):
         """Rows-only check: clean_html over corpus pages, new hash."""
         from memorious_spark.operators.parse import clean_html_udf
@@ -1599,6 +1618,7 @@ pipeline:
         "span_dedup_rewrite": span_dedup_rewrite,
         "url_traps": url_traps,
         "sitemap_locs": sitemap_locs,
+        "recrawl_schedule": recrawl_schedule,
         "warc_roundtrip": warc_roundtrip,
         "media_decode_wav": media_decode_wav,
         "doc_fingerprint": doc_fingerprint,
@@ -2447,6 +2467,56 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split(trim(d.text), ' '))
                      - coalesce(r.n_kept, 0) AS n_removed
             FROM documents d LEFT JOIN reb r USING (doc_id)
+        """,
+        # Cho & Garcia-Molina λ̂ via a lag window (oracle-side only —
+        # the engine folds per-URL arrays, histories are small); the
+        # consecutive order is (ts, hash), matching array_sort on the
+        # struct; epoch floored to whole seconds on both engines
+        "recrawl_schedule": """
+            WITH h AS (
+              SELECT 'https://h' || (user_id % 7) || '.example.com/doc/'
+                       || user_id AS url,
+                     ts AS fetch_ts,
+                     md5(user_id || '/' || event_type) AS content_hash
+              FROM events
+            ),
+            o AS (
+              SELECT url, fetch_ts, content_hash,
+                     lag(content_hash) OVER (
+                       PARTITION BY url
+                       ORDER BY fetch_ts, content_hash) AS prev_h
+              FROM h
+            ),
+            s AS (
+              SELECT url,
+                     count(*) AS n_fetches,
+                     count(*) - 1 AS n_intervals,
+                     sum(CASE WHEN prev_h IS NOT NULL
+                              AND content_hash <> prev_h
+                              THEN 1 ELSE 0 END) AS n_changes,
+                     CAST(floor(epoch(max(fetch_ts))) AS BIGINT)
+                       - CAST(floor(epoch(min(fetch_ts))) AS BIGINT)
+                       AS span_seconds,
+                     CAST(floor(epoch(max(fetch_ts))) AS BIGINT) AS last_s
+              FROM o GROUP BY url
+            )
+            SELECT url,
+                   CAST(n_fetches AS INT) AS n_fetches,
+                   CAST(n_changes AS INT) AS n_changes,
+                   CASE WHEN n_intervals >= 1 AND span_seconds > 0 THEN
+                     round(-ln((n_intervals - n_changes + 0.5)
+                               / (n_intervals + 0.5))
+                           / (span_seconds::DOUBLE / n_intervals), 12)
+                   END AS lambda_hat,
+                   CASE WHEN n_intervals >= 1 AND span_seconds > 0 THEN
+                     round(round(-ln((n_intervals - n_changes + 0.5)
+                                     / (n_intervals + 0.5))
+                                 / (span_seconds::DOUBLE / n_intervals), 12)
+                           * (CAST(floor(epoch(
+                                TIMESTAMP '2026-06-01 00:00:00')) AS BIGINT)
+                              - last_s), 6)
+                   ELSE 0.0 END AS priority
+            FROM s
         """,
         # closed-form twin of the sitemap generator: the engine parses
         # real XML, the oracle recomputes the loc layout directly

@@ -1711,3 +1711,39 @@ def test_remove_duplicate_spans_hand_math(spark):
     one = spark.createDataFrame([(9, "p p p")], "doc_id long, text string")
     r9 = remove_duplicate_spans(one, k=2).collect()[0]
     assert r9.text == "p" and r9.n_tokens == 3 and r9.n_removed == 2
+
+
+def test_recrawl_priority_hand_math(spark):
+    """Cho & Garcia-Molina estimator, hand-checked: 4 fetches with one
+    hash change over 300s -> lambda = ln(3.5/2.5)/100; never-changed
+    -> 0; single fetch -> NULL lambda, priority 0; priority = lambda *
+    age at the pinned now."""
+    import math
+
+    from memorious_spark.operators.recrawl import change_stats, recrawl_priority
+
+    rows = [
+        ("a", "2026-01-01 00:00:00", "h1"),
+        ("a", "2026-01-01 00:01:40", "h1"),
+        ("a", "2026-01-01 00:03:20", "h2"),
+        ("a", "2026-01-01 00:05:00", "h2"),
+        ("b", "2026-01-01 00:00:00", "x"),
+        ("b", "2026-01-01 00:05:00", "x"),
+        ("c", "2026-01-01 00:05:00", "y"),
+    ]
+    hist = spark.createDataFrame(rows, "url string, t string, content_hash string")
+    hist = hist.select("url", F.col("t").cast("timestamp").alias("fetch_ts"),
+                       "content_hash")
+    st = {r.url: r for r in change_stats(hist).collect()}
+    assert (st["a"].n_fetches, st["a"].n_intervals, st["a"].n_changes,
+            st["a"].span_seconds) == (4, 3, 1, 300)
+    assert (st["b"].n_changes, st["c"].n_intervals) == (0, 0)
+
+    got = {r.url: r for r in
+           recrawl_priority(hist, now_ts="2026-01-01 00:06:40").collect()}
+    lam_a = -math.log((3 - 1 + 0.5) / (3 + 0.5)) / 100.0
+    assert got["a"].lambda_hat == pytest.approx(lam_a, rel=1e-9)
+    # age = 100s after the last fetch at 00:05:00
+    assert got["a"].priority == pytest.approx(round(round(lam_a, 12) * 100, 6))
+    assert got["b"].lambda_hat == 0.0 and got["b"].priority == 0.0
+    assert got["c"].lambda_hat is None and got["c"].priority == 0.0
