@@ -1108,6 +1108,46 @@ pipeline:
             F.md5("payload").alias("payload_md5"),
         )
 
+    def warc_cdx_fetch(spark, sf_dir):
+        """CDX-indexed WARC random access end-to-end: the corpus is
+        archived as member-per-record ``.warc.gz`` plus CDXJ sidecars,
+        the INDEX alone (thousands of times smaller than the archives)
+        is filtered to every 7th document, and ``read_warc_records``
+        range-fetches exactly those gzip members — seek, read
+        ``length`` bytes, gunzip, parse. Equality of urlkey / payload
+        md5 / byte length with the oracle's closed-form recomputation
+        proves offsets, member boundaries, SURT keys and payload bytes
+        all at once."""
+        import shutil
+        import tempfile
+
+        from memorious_spark.sources.warc import (
+            read_cdx, read_warc_records, write_warc,
+        )
+
+        ship_package(spark)
+        d = _docs(spark, sf_dir).select(
+            F.concat(
+                F.lit("http://docs.example.org/d/"), F.col("doc_id")
+            ).alias("uri"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+        )
+        tmp = tempfile.mkdtemp(prefix="warc_cdx_")
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_warc(
+            d.repartition(8), tmp, compress=True, index=True
+        ).collect()
+        cdx = read_cdx(spark, f"{tmp}/*.cdx").withColumn(
+            "doc_id", F.substring_index("url", "/", -1).cast("long")
+        )
+        picked = cdx.filter(F.col("doc_id") % 7 == 0)
+        recs = read_warc_records(picked)
+        return recs.select(
+            F.substring_index("uri", "/", -1).cast("long").alias("doc_id"),
+            F.md5("payload").alias("payload_md5"),
+            F.length("payload").cast("long").alias("payload_len"),
+        ).join(picked.select("doc_id", "urlkey"), "doc_id")
+
     # -- multimodal + archives ----------------------------------------------
     def media_features(spark, sf_dir):
         from memorious_spark.operators.multimodal import (
@@ -1620,6 +1660,7 @@ pipeline:
         "sitemap_locs": sitemap_locs,
         "recrawl_schedule": recrawl_schedule,
         "warc_roundtrip": warc_roundtrip,
+        "warc_cdx_fetch": warc_cdx_fetch,
         "media_decode_wav": media_decode_wav,
         "doc_fingerprint": doc_fingerprint,
         "media_features": media_features,
@@ -2601,6 +2642,17 @@ def oracle_sql() -> dict[str, str]:
         # trip must reproduce
         "warc_roundtrip": """
             SELECT doc_id, md5(text) AS payload_md5 FROM documents
+        """,
+        # CDX random access: urlkey is the closed-form SURT of the
+        # generated URL layout; md5/byte-length recompute the payload
+        # the ranged gzip-member fetch must reproduce
+        "warc_cdx_fetch": """
+            SELECT doc_id,
+                   md5(text) AS payload_md5,
+                   CAST(octet_length(encode(text)) AS BIGINT)
+                     AS payload_len,
+                   'org,example,docs)/d/' || doc_id AS urlkey
+            FROM documents WHERE doc_id % 7 = 0
         """,
         # closed-form recomputation of the synthesized PCM signal the
         # Spark side routes through wave-writer -> decode_wav

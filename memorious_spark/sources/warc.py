@@ -17,14 +17,31 @@ Scale posture:
   partition iterator — one open file handle per task, Arrow batches
   in, bytes out, one summary row back. No driver involvement, no
   collect.
-- **Read**: WARC is not splittable mid-stream without a sidecar index
-  (records are length-prefixed, not delimited — you cannot seek into
-  the middle; this is why Common Crawl ships ``.warc.paths`` +
-  ``cdx`` indexes). Parallelism is therefore per-FILE: ``binaryFile``
-  scan → ``mapInPandas`` record parser. Shard your archives at the
-  ~1 GiB the ecosystem uses and a 1000-executor cluster reads 100 TB
-  with every core busy; one giant file would serialize — documented,
-  not hidden.
+- **Read (full scan)**: WARC is not splittable mid-stream without a
+  sidecar index (records are length-prefixed, not delimited — you
+  cannot seek into the middle; this is why Common Crawl ships
+  ``.warc.paths`` + ``cdx`` indexes). Parallelism is therefore
+  per-FILE: ``binaryFile`` scan → ``mapInPandas`` record parser.
+  Shard your archives at the ~1 GiB the ecosystem uses and a
+  1000-executor cluster reads 100 TB with every core busy; one giant
+  file would serialize — documented, not hidden.
+- **Read (indexed)**: ``write_warc(..., index=True)`` emits the CDXJ
+  sidecar (one ``urlkey timestamp {json}`` line per record, the
+  pywb/OpenWayback interchange format) carrying each record's
+  ``(offset, length)`` in its archive. :func:`read_cdx` loads the
+  sidecars as a plain DataFrame — so record SELECTION is Catalyst
+  (filter the tiny index, never the archives) — and
+  :func:`read_warc_records` fetches exactly the selected byte ranges
+  with RECORD-level parallelism: rows of one archive may sit in many
+  tasks (object stores serve concurrent ranged GETs natively), each
+  task reuses one handle across its offset-sorted run. Reading 0.01%
+  of a 100 TB archive set costs 0.01% of the bytes, not a scan.
+- **Compression**: ``compress=True`` writes ``.warc.gz`` in the
+  Common-Crawl member-per-record layout — each record is its own
+  gzip member, which is exactly what makes the CDX offsets seekable
+  (a whole-file gzip stream would force decompress-from-zero).
+  Members come from ``zlib.compressobj(9, DEFLATED, wbits=31)``:
+  header has MTIME=0, no name — byte-deterministic.
 - Determinism: ``WARC-Record-ID`` is derived from sha1(uri, payload),
   ``WARC-Date`` comes from the caller's timestamp column — no wall
   clock, no uuid4 — so write → read round-trips are bit-stable and
@@ -33,8 +50,11 @@ Scale posture:
 
 from __future__ import annotations
 
+import gzip
 import hashlib
 import io
+import json
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -47,7 +67,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["write_warc", "read_warc", "WARC_RECORD_SCHEMA"]
+__all__ = [
+    "write_warc",
+    "read_warc",
+    "read_cdx",
+    "read_warc_records",
+    "surt_key",
+    "WARC_RECORD_SCHEMA",
+    "CDX_SCHEMA",
+]
 
 _CRLF = b"\r\n"
 
@@ -70,6 +98,52 @@ _WRITE_SUMMARY_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
     ]
 )
+
+CDX_SCHEMA = StructType(
+    [
+        StructField("urlkey", StringType()),
+        StructField("timestamp", StringType()),
+        StructField("url", StringType()),
+        StructField("digest", StringType()),
+        StructField("mime", StringType()),
+        StructField("offset", LongType()),
+        StructField("length", LongType()),
+        StructField("warc_file", StringType()),
+    ]
+)
+
+
+def surt_key(url: str) -> str:
+    """Canonical SURT-form index key (Sort-friendly URI Reordering
+    Transform — the key column of every Internet-Archive/Common-Crawl
+    CDX): lowercase, scheme and a leading ``www.`` dropped, host
+    components reversed and comma-joined, ``)`` before the path.
+    ``http://www.Docs.Example.org/d/5?x=1`` → ``org,example,docs)/d/5?x=1``.
+    Non-hierarchical URIs (``urn:...``) key as themselves lowercased —
+    still unique, still sortable."""
+    u = url.strip().lower()
+    for scheme in ("https://", "http://"):
+        if u.startswith(scheme):
+            u = u[len(scheme):]
+            break
+    else:
+        return u
+    host, sep, rest = u.partition("/")
+    host = host.removeprefix("www.")
+    return ",".join(reversed(host.split("."))) + ")/" + (rest if sep else "")
+
+
+def _cdx_timestamp(date: str) -> str:
+    """CDX 14-digit timestamp from an ISO-ish date string: keep the
+    digits, left-pad the tail with zeros (``1970-01-01T00:00:00Z`` →
+    ``19700101000000``)."""
+    digits = "".join(ch for ch in date if ch.isdigit())
+    return (digits + "0" * 14)[:14]
+
+
+def _gzip_member(raw: bytes) -> bytes:
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    return co.compress(raw) + co.flush()
 
 
 def _fs_for(path: str):
@@ -111,17 +185,31 @@ def write_warc(
     content_type_col: str | None = None,
     warc_type: str = "resource",
     prefix: str = "part",
+    compress: bool = False,
+    index: bool = False,
 ) -> DataFrame:
     """Write one ``<prefix>-NNNNN.warc`` file per partition of ``df``
     under ``path`` (any ``pyarrow.fs`` URI). Returns the per-file
     summary DataFrame ``(warc_file, n_records, n_bytes)`` — an ACTION
     has not run yet; the caller materializes it.
 
+    ``compress=True`` emits ``.warc.gz`` with ONE GZIP MEMBER PER
+    RECORD (the Common Crawl layout — the property that makes CDX
+    offsets independently seekable). ``index=True`` additionally
+    streams a ``<prefix>-NNNNN.cdx`` CDXJ sidecar beside each archive:
+    ``urlkey timestamp {json}`` per record, json carrying
+    ``url/digest/mime/offset/length/filename``; ``digest`` is the
+    sha1 hex of the UNCOMPRESSED payload, ``offset``/``length`` the
+    record's byte range in the archive as written (the gzip member's
+    range when compressed). Both sidecar and archive come from the
+    same single pass — no second scan, no driver involvement.
+
     ``date_col``/``content_type_col`` default to constant
     ``1970-01-01T00:00:00Z`` / ``application/octet-stream`` when
     absent, keeping output a pure function of the data."""
     fs, root = _fs_for(path)
     fs.create_dir(root, recursive=True)
+    ext = ".warc.gz" if compress else ".warc"
     sel = [
         F.col(uri_col).cast("string").alias("uri"),
         F.col(payload_col).cast("binary").alias("payload"),
@@ -139,26 +227,56 @@ def write_warc(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        fname = f"{root}/{prefix}-{pid:05d}.warc"
+        base = f"{prefix}-{pid:05d}"
+        fname = f"{root}/{base}{ext}"
         wfs, wroot = _fs_for(path)
         n = 0
         total = 0
-        out = wfs.open_output_stream(f"{wroot}/{prefix}-{pid:05d}.warc")
+        # compression=None: pyarrow otherwise DETECTS the .gz suffix
+        # and wraps the stream in a second whole-file gzip layer,
+        # destroying the member-per-record seekability
+        out = wfs.open_output_stream(
+            f"{wroot}/{base}{ext}", compression=None
+        )
+        cdx_out = (
+            wfs.open_output_stream(f"{wroot}/{base}.cdx", compression=None)
+            if index
+            else None
+        )
         try:
             for b in batches:
                 for uri, payload, date, ctype in zip(
                     b["uri"], b["payload"], b["date"], b["ctype"]
                 ):
-                    rec = _record_bytes(
-                        uri, date, ctype, bytes(payload), warc_type
-                    )
+                    payload = bytes(payload)
+                    rec = _record_bytes(uri, date, ctype, payload, warc_type)
+                    if compress:
+                        rec = _gzip_member(rec)
                     out.write(rec)
+                    if cdx_out is not None:
+                        meta = {
+                            "url": uri,
+                            "digest": hashlib.sha1(payload).hexdigest(),
+                            "mime": ctype,
+                            "offset": total,
+                            "length": len(rec),
+                            "filename": f"{base}{ext}",
+                        }
+                        line = (
+                            f"{surt_key(uri)} {_cdx_timestamp(date)} "
+                            f"{json.dumps(meta, separators=(',', ':'))}\n"
+                        )
+                        cdx_out.write(line.encode("utf-8"))
                     n += 1
                     total += len(rec)
         finally:
             out.close()
+            if cdx_out is not None:
+                cdx_out.close()
         if n == 0:
-            wfs.delete_file(f"{wroot}/{prefix}-{pid:05d}.warc")
+            wfs.delete_file(f"{wroot}/{base}{ext}")
+            if index:
+                wfs.delete_file(f"{wroot}/{base}.cdx")
             return
         yield pd.DataFrame(
             {"warc_file": [fname], "n_records": [n], "n_bytes": [total]}
@@ -205,20 +323,115 @@ def _parse_warc_bytes(blob: bytes, fname: str) -> Iterator[dict]:
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Scan ``path`` (glob ok) for ``.warc`` files and return one row
-    per record with :data:`WARC_RECORD_SCHEMA`. File-level
-    parallelism (see module docstring); malformed records raise with
-    the file name — a corrupt archive fails loud, never truncates
-    silently."""
+    """Scan ``path`` (glob ok) for ``.warc``/``.warc.gz`` files and
+    return one row per record with :data:`WARC_RECORD_SCHEMA`.
+    File-level parallelism (see module docstring); gzip archives are
+    decompressed member-by-member (``gzip`` handles the concatenated-
+    member layout natively); malformed records raise with the file
+    name — a corrupt archive fails loud, never truncates silently."""
     files = spark.read.format("binaryFile").load(path)
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             for fpath, blob in zip(b["path"], b["content"]):
-                rows = list(_parse_warc_bytes(bytes(blob), fpath))
+                blob = bytes(blob)
+                if fpath.endswith(".gz"):
+                    blob = gzip.decompress(blob)
+                rows = list(_parse_warc_bytes(blob, fpath))
                 if rows:
                     yield pd.DataFrame(rows)
 
     return files.select("path", "content").mapInPandas(
         _parse, WARC_RECORD_SCHEMA
     )
+
+
+_CDX_JSON_SCHEMA = (
+    "url string, digest string, mime string, offset long, "
+    "length long, filename string"
+)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Load CDXJ sidecars (glob ok) as :data:`CDX_SCHEMA`. The index
+    is the QUERY surface of an archive set: filter/join it with plain
+    DataFrame ops (it is thousands of times smaller than the
+    archives), then hand the survivors to :func:`read_warc_records`.
+    ``warc_file`` is resolved absolute against each sidecar's own
+    directory, so a moved archive set stays self-describing."""
+    lines = spark.read.text(path).select(
+        F.split(F.col("value"), " ", 3).alias("p"),
+        F.input_file_name().alias("_src"),
+    )
+    meta = F.from_json(F.element_at("p", 3), _CDX_JSON_SCHEMA).alias("m")
+    return lines.select(
+        F.element_at("p", 1).alias("urlkey"),
+        F.element_at("p", 2).alias("timestamp"),
+        meta,
+        F.regexp_replace("_src", "/[^/]+$", "").alias("_dir"),
+    ).select(
+        "urlkey",
+        "timestamp",
+        F.col("m.url").alias("url"),
+        F.col("m.digest").alias("digest"),
+        F.col("m.mime").alias("mime"),
+        F.col("m.offset").alias("offset"),
+        F.col("m.length").alias("length"),
+        F.concat_ws("/", "_dir", "m.filename").alias("warc_file"),
+    )
+
+
+def read_warc_records(cdx: DataFrame) -> DataFrame:
+    """Random-access fetch of exactly the records a (filtered) CDX
+    DataFrame names: seek ``offset``, read ``length`` bytes, gunzip
+    the member when the archive is ``.gz``, parse the one record.
+
+    Scale posture: deliberately NO repartition-by-file — records of
+    one archive may land in many tasks (record-level parallelism;
+    object stores serve concurrent ranged GETs), and each task sorts
+    its slice by ``(warc_file, offset)`` so a handle is opened once
+    per file-run and reads move forward. Selecting k records out of a
+    100 TB archive set costs O(k) ranged reads, never a scan."""
+    from memorious_spark.operators.frontier import ensure_parallelism
+
+    sel = ensure_parallelism(
+        cdx.select("warc_file", "offset", "length")
+    ).sortWithinPartitions("warc_file", "offset")
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur, handle = None, None
+        try:
+            for b in batches:
+                rows = []
+                for fpath, off, length in zip(
+                    b["warc_file"], b["offset"], b["length"]
+                ):
+                    if fpath != cur:
+                        if handle is not None:
+                            handle.close()
+                        fsys, p = _fs_for(fpath)
+                        handle = fsys.open_input_file(p)
+                        cur = fpath
+                    handle.seek(int(off))
+                    raw = handle.read(int(length))
+                    if len(raw) != int(length):
+                        raise ValueError(
+                            f"{fpath}: short range read at {off} "
+                            f"(want {length} bytes, got {len(raw)})"
+                        )
+                    if fpath.endswith(".gz"):
+                        raw = gzip.decompress(raw)
+                    recs = list(_parse_warc_bytes(raw, fpath))
+                    if len(recs) != 1:
+                        raise ValueError(
+                            f"{fpath}: CDX range [{off}, {off}+{length}) "
+                            f"holds {len(recs)} records, expected 1"
+                        )
+                    rows.append(recs[0])
+                if rows:
+                    yield pd.DataFrame(rows)
+        finally:
+            if handle is not None:
+                handle.close()
+
+    return sel.mapInPandas(_fetch, WARC_RECORD_SCHEMA)
