@@ -834,6 +834,55 @@ pipeline:
             host_col(F.col("url")).alias("host"),
         )
 
+    def domain_kernel(spark, sf_dir):
+        """Registrable-domain extraction (PSL-lite): hosts are
+        synthesized across plain, two-level-suffix and deep-subdomain
+        shapes; the oracle recomputes the domain closed-form from the
+        generated layout, pinning the Column suffix logic."""
+        from memorious_spark.functions.urls import registrable_domain_col
+
+        docs = _docs(spark, sf_dir)
+        suffix = F.element_at(
+            F.array(
+                F.lit("com"), F.lit("co.uk"), F.lit("com.au"),
+                F.lit("org"), F.lit("gov.uk"),
+            ),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        )
+        sub = F.element_at(
+            F.array(F.lit("a.b."), F.lit("www."), F.lit("")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        )
+        host = F.concat(
+            sub, F.lit("site"), F.col("doc_id") % 50, F.lit("."), suffix
+        )
+        return docs.select(
+            "doc_id",
+            host.alias("host"),
+            registrable_domain_col(host).alias("domain"),
+        )
+
+    def url_canon(spark, sf_dir):
+        """Aggressive canonicalization for dedup: query params sorted,
+        utm_*/click-id params stripped, empty query dropped — on top
+        of the conservative norm (lowercase, default port). The oracle
+        rebuilds the canonical string closed-form per query shape."""
+        from memorious_spark.functions.urls import canon_col
+
+        docs = _docs(spark, sf_dir)
+        query = (
+            F.when(F.col("doc_id") % 3 == 0, "?b=2&a=1&utm_source=x")
+            .when(F.col("doc_id") % 3 == 1, "?utm_campaign=z&gclid=1")
+            .otherwise("?z=9")
+        )
+        url = F.concat(
+            F.lit("https://H"), F.col("doc_id") % 7,
+            F.lit(".Example.COM:443/p/"), F.col("doc_id"), query,
+        )
+        return docs.select(
+            "doc_id", canon_col(url).alias("url_canon")
+        )
+
     def make_id(spark, sf_dir):
         """make_key text (oracle-exact) + make_id digest shape; the
         digest is reference-faithful sha1(make_key) (helpers/key.py:
@@ -1626,6 +1675,8 @@ pipeline:
         "dates_gen": dates_gen,
         "init_frontier_dates": init_frontier_dates,
         "url_kernel": url_kernel,
+        "domain_kernel": domain_kernel,
+        "url_canon": url_canon,
         "make_id": make_id,
         "rule_filter": rule_filter,
         "metrics_rollup": metrics_rollup,
@@ -1916,6 +1967,34 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id
                      || '?q=' || (doc_id % 3) AS url_norm,
                    'h' || (doc_id % 7) || '.example.com' AS host
+            FROM documents
+        """,
+        # registrable domain recomputed closed-form from the generated
+        # (sub, name, suffix) layout — the suffix list is two-level for
+        # co.uk/com.au/gov.uk and one-level for com/org
+        "domain_kernel": """
+            WITH h AS (
+              SELECT doc_id,
+                     (['a.b.', 'www.', ''])[(doc_id % 3) + 1] AS sub,
+                     'site' || (doc_id % 50) AS name,
+                     (['com', 'co.uk', 'com.au', 'org', 'gov.uk'])
+                       [(doc_id % 5) + 1] AS suffix
+              FROM documents
+            )
+            SELECT doc_id,
+                   sub || name || '.' || suffix AS host,
+                   name || '.' || suffix AS domain
+            FROM h
+        """,
+        # canonical string rebuilt per query shape: params sorted,
+        # tracking params stripped, all-tracking query dropped
+        "url_canon": """
+            SELECT doc_id,
+                   'https://h' || (doc_id % 7) || '.example.com/p/'
+                     || doc_id
+                     || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2'
+                             WHEN doc_id % 3 = 1 THEN ''
+                             ELSE '?z=9' END AS url_canon
             FROM documents
         """,
         "make_id": """

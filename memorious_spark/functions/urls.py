@@ -34,7 +34,38 @@ __all__ = [
     "py_norm",
     "trap_signals",
     "is_trap_col",
+    "registrable_domain_col",
+    "py_registrable_domain",
+    "canon_col",
+    "TWO_LEVEL_SUFFIXES",
+    "TRACKING_PARAMS",
 ]
+
+# PSL-lite: the high-traffic two-level public suffixes (a curated,
+# deterministic subset of publicsuffix.org — the full list is a data
+# file, not an algorithm; at production swap this frozenset for a
+# broadcast table built from a pinned PSL snapshot, the call sites
+# below are the seam). Sorted for reproducible plan literals.
+TWO_LEVEL_SUFFIXES = tuple(sorted({
+    "ac.id", "ac.il", "ac.in", "ac.jp", "ac.kr", "ac.nz", "ac.th",
+    "ac.uk", "ac.za", "co.id", "co.il", "co.in", "co.jp", "co.kr",
+    "co.nz", "co.th", "co.uk", "co.za", "com.ar", "com.au", "com.bd",
+    "com.br", "com.cn", "com.co", "com.ec", "com.eg", "com.hk",
+    "com.mx", "com.my", "com.pe", "com.ph", "com.pk", "com.pl",
+    "com.sa", "com.sg", "com.tr", "com.tw", "com.ua", "com.uy",
+    "com.vn", "edu.au", "edu.cn", "edu.mx", "gen.in", "go.jp",
+    "go.kr", "go.th", "gob.mx", "gov.au", "gov.br", "gov.cn",
+    "gov.il", "gov.in", "gov.tr", "gov.ua", "gov.uk", "gov.za",
+    "govt.nz", "ne.jp", "ne.kr", "net.au", "net.br", "net.cn",
+    "net.in", "net.nz", "net.pl", "net.tr", "net.uk", "net.za",
+    "or.id", "or.jp", "or.kr", "or.th", "org.au", "org.br",
+    "org.cn", "org.il", "org.in", "org.mx", "org.nz", "org.pl",
+    "org.tr", "org.uk", "org.za", "sch.uk", "web.id", "web.za",
+}))
+
+# Click-tracking query params every production canonicalizer strips
+# (exact names; utm_* is matched as a prefix).
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid")
 
 
 def host_col(url: Column) -> Column:
@@ -179,4 +210,73 @@ def is_trap_col(
         | (s["max_seg_run"] > max_seg_run)
         | (s["n_qparams"] > max_qparams)
         | (s["url_len"] > max_len)
+    )
+
+
+def registrable_domain_col(host: Column) -> Column:
+    """Registrable domain of a (lowercased) hostname: the label left
+    of the public suffix — ``news.bbc.co.uk`` → ``bbc.co.uk``,
+    ``a.b.example.com`` → ``example.com``. Politeness at web scale
+    groups by THIS, not by host: ten thousand ``*.blogspot.com``
+    subdomains resolve to one origin infrastructure, and a per-host
+    budget would multiply the configured rate by the subdomain count.
+    Suffix set is :data:`TWO_LEVEL_SUFFIXES` (PSL-lite — see its
+    comment for the full-PSL seam). Pure Column, codegen-friendly;
+    bare/1-label hosts and IPs pass through unchanged."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    return (
+        F.when(is_ip | (n <= 2), host)
+        .when(last2.isin(*TWO_LEVEL_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def py_registrable_domain(host: str) -> str:
+    """Pure-Python mirror of :func:`registrable_domain_col`."""
+    import re
+
+    if re.fullmatch(r"\d+\.\d+\.\d+\.\d+", host):
+        return host
+    parts = host.split(".")
+    if len(parts) <= 2:
+        return host
+    if ".".join(parts[-2:]) in TWO_LEVEL_SUFFIXES:
+        return ".".join(parts[-3:])
+    return ".".join(parts[-2:])
+
+
+def canon_col(url: Column) -> Column:
+    """Aggressive canonical form for DEDUP (not for fetching): the
+    :func:`norm_col` canonicalization plus query-param SORTING and
+    tracking-param removal (``utm_*`` prefix + :data:`TRACKING_PARAMS`).
+    ``?b=2&a=1&utm_source=x`` and ``?a=1&b=2`` collapse to one frontier
+    key. Kept SEPARATE from ``norm_col`` on purpose: the reference's
+    seen-set contract (crawl ordering, url_norm equality) is defined
+    over the conservative form; this stricter key is the opt-in
+    duplicate-collapse a 10^10-URL frontier wants. Pure Column —
+    split/filter/sort/join, no UDF."""
+    base = norm_col(url)
+    q = F.parse_url(url, F.lit("QUERY"))
+    kept = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~F.substring_index(p, "=", 1).isin(*TRACKING_PARAMS),
+        )
+    )
+    path_part = F.substring_index(base, "?", 1)
+    return F.when(
+        q.isNull() | (F.size(kept) == 0), path_part
+    ).otherwise(
+        F.concat(path_part, F.lit("?"), F.array_join(kept, "&"))
     )

@@ -39,6 +39,7 @@ def politeness_dequeue(
     budget: int,
     robots: DataFrame | None = None,
     n_salts: int = 32,
+    group: str = "host",
 ) -> tuple[DataFrame, DataFrame]:
     """Select ≤ budget rows per host this round; rest carries over.
 
@@ -48,6 +49,16 @@ def politeness_dequeue(
     disallow_prefixes, crawl_delay_budget) both gates disallowed
     paths and overrides the per-host budget (north-rule addition; the
     reference has no robots support).
+
+    ``group="domain"`` keys the budget on the REGISTRABLE domain
+    (``functions.urls.registrable_domain_col``) instead of the raw
+    host — ten thousand ``*.blogspot.com`` subdomains then share one
+    budget rather than multiplying it. Robots gating/overrides stay
+    per-host (robots.txt is a host-scoped protocol); with mixed
+    per-host crawl-delay budgets a row is admitted only while the
+    DOMAIN-wide rank is within that row's own host budget, so the
+    domain total never exceeds its most permissive host's budget and
+    stricter hosts cut off earlier.
 
     Skew-safe two-phase top-k: a single ``Window.partitionBy(host)``
     would funnel a mega-host's entire frontier (10^8 rows on a
@@ -78,20 +89,35 @@ def politeness_dequeue(
         host_budget = F.lit(budget)
         robot_cols = []
 
-    base = frontier.withColumn("_budget", host_budget).withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("emit_seq")), F.lit(n_salts))
+    if group == "domain":
+        from memorious_spark.functions.urls import registrable_domain_col
+
+        grp = registrable_domain_col(F.col("host"))
+    elif group == "host":
+        grp = F.col("host")
+    else:
+        raise ValueError(
+            f"politeness_dequeue: unknown group {group!r} "
+            "(expected 'host' or 'domain')"
+        )
+    base = (
+        frontier.withColumn("_budget", host_budget)
+        .withColumn("_grp", grp)
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("emit_seq")), F.lit(n_salts))
+        )
     )
-    w1 = Window.partitionBy("host", "_salt").orderBy(*_order_cols())
+    w1 = Window.partitionBy("_grp", "_salt").orderBy(*_order_cols())
     p1 = base.withColumn("_rn1", F.row_number().over(w1))
     survivors = p1.filter(F.col("_rn1") <= F.col("_budget"))
     spill1 = p1.filter(F.col("_rn1") > F.col("_budget"))
 
-    w2 = Window.partitionBy("host").orderBy(*_order_cols())
+    w2 = Window.partitionBy("_grp").orderBy(*_order_cols())
     ranked = survivors.withColumn("_rn", F.row_number().over(w2))
     selected = ranked.filter(F.col("_rn") <= F.col("_budget"))
     spill2 = ranked.filter(F.col("_rn") > F.col("_budget"))
 
-    drop1 = ["_rn1", "_salt", "_budget"] + robot_cols
+    drop1 = ["_rn1", "_salt", "_grp", "_budget"] + robot_cols
     drop2 = ["_rn"] + drop1
     carryover = spill1.drop(*drop1).unionByName(spill2.drop(*drop2))
     return selected.drop(*drop2), carryover

@@ -91,6 +91,18 @@ class CrawlConfig:
     # reference's FIFO order, and the crawl-order oracles require it.
     prioritize: str | None = None
     rank_iters: int = 3
+    # politeness budget grouping: "host" (the reference's rate-limit
+    # resource, logic/http.py:210-211) or "domain" — registrable
+    # domain via functions/urls.py PSL-lite, so subdomain farms share
+    # one budget instead of multiplying it (no reference analogue)
+    politeness_group: str = "host"
+    # frontier dedup key: "conservative" hashes url_norm (the
+    # reference's seen contract — crawl-order oracles require it);
+    # "aggressive" hashes functions/urls.canon_col (sorted query
+    # params, tracking params stripped) so ?utm_* variants collapse
+    # to ONE seen entry. Fetch/corpus join stays on url_norm either
+    # way — the canon form keys dedup, never the request.
+    canonicalize: str = "conservative"
     # crawler-trap frontier gate (functions/urls.py trap_signals —
     # Heritrix's pathological-path/too-many-segments decide-rule
     # family; no reference analogue, a single-site crawler never fills
@@ -242,6 +254,8 @@ def load_config(spec: dict) -> CrawlConfig:
     clean_paths: tuple[str, ...] | None = None
     prioritize, rank_iters = None, 3
     trap_filter = False
+    politeness_group = "host"
+    canonicalize = "conservative"
     for stage in stages.values():
         method = stage.get("method")
         params = stage.get("params") or {}
@@ -259,6 +273,19 @@ def load_config(spec: dict) -> CrawlConfig:
                 )
             rank_iters = int(params.get("rank_iters", 3))
             trap_filter = bool(params.get("traps", False))
+            politeness_group = params.get("politeness_group", "host")
+            if politeness_group not in ("host", "domain"):
+                raise ValueError(
+                    "fetch politeness_group: unknown grouping "
+                    f"{politeness_group!r} (supported: host, domain)"
+                )
+            canonicalize = params.get("canonicalize", "conservative")
+            if canonicalize not in ("conservative", "aggressive"):
+                raise ValueError(
+                    "fetch canonicalize: unknown form "
+                    f"{canonicalize!r} (supported: conservative, "
+                    "aggressive)"
+                )
         elif method == "extract":
             extract_enabled = True
             extract_wildcard = params.get("wildcard")
@@ -347,4 +374,6 @@ def load_config(spec: dict) -> CrawlConfig:
         prioritize=prioritize,
         rank_iters=rank_iters,
         trap_filter=trap_filter,
+        politeness_group=politeness_group,
+        canonicalize=canonicalize,
     )

@@ -156,13 +156,24 @@ class CrawlRunner:
         df = self.spark.createDataFrame(rows, "url string, emit_seq long")
         return self._frontier_shape(df, depth=F.lit(0))
 
-    @staticmethod
-    def _frontier_shape(df: DataFrame, depth) -> DataFrame:
+    def _dedup_hash(self, url_norm) -> "F.Column":
+        """The seen/dedup key: xxhash64 of url_norm, or of the
+        aggressive canonical form (sorted/stripped query params) when
+        ``canonicalize: aggressive`` — tracking-param variants then
+        collapse to one frontier entry. url_norm itself (the fetch /
+        corpus-join key) is never altered."""
+        if self.config.canonicalize == "aggressive":
+            from memorious_spark.functions.urls import canon_col
+
+            return hash_col(canon_col(F.col("url")))
+        return hash_col(url_norm)
+
+    def _frontier_shape(self, df: DataFrame, depth) -> DataFrame:
         url_norm = norm_col(F.col("url"))
         return df.select(
             "url",
             url_norm.alias("url_norm"),
-            hash_col(url_norm).alias("url_hash"),
+            self._dedup_hash(url_norm).alias("url_hash"),
             host_col(F.col("url")).alias("host"),
             depth.cast("int").alias("depth"),
             F.lit(0.0).alias("priority"),
@@ -366,7 +377,8 @@ class CrawlRunner:
                 selected, carryover = frontier, None
             else:
                 selected, carryover = politeness_dequeue(
-                    frontier, cfg.budget_per_host, self.robots
+                    frontier, cfg.budget_per_host, self.robots,
+                    group=cfg.politeness_group,
                 )
             selected = salt_partitions(selected).persist()
 
@@ -520,7 +532,7 @@ class CrawlRunner:
             if cfg.max_depth is not None:
                 cands = cands.filter(F.col("depth") <= cfg.max_depth)
             cands = cands.withColumn("url_norm", norm_col(F.col("url"))).withColumn(
-                "url_hash", hash_col(F.col("url_norm"))
+                "url_hash", self._dedup_hash(F.col("url_norm"))
             )
             cands = dedup_within_round(cands, _ORDER)
             # same-round redirect tags block only later emitters

@@ -59,12 +59,14 @@ def run_streaming_crawl(
     seen_dir: str | None = None,
     politeness_budget: int | None = None,
     politeness_timeout_ms: int | None = None,
+    politeness_group: str = "host",
     cache_store=None,
     run_id: str = "stream",
     now_ts: str = "2024-01-01 00:00:00",
     retry_dir: str | None = None,
     max_retries: int = 3,
     trap_filter: bool = False,
+    canonicalize: str = "conservative",
 ):
     """Continuous crawl ingest: every micro-batch of seed URLs is
     canonicalized, deduped against the persistent seen table, probed
@@ -76,7 +78,10 @@ def run_streaming_crawl(
     ``politeness_budget`` applies the per-host budget ON the stream
     via the keyed-state park/release operator: at most ``budget`` urls
     per host per trigger, FIFO, the excess parked in checkpointed
-    state and drained on later triggers.
+    state and drained on later triggers. ``politeness_group="domain"``
+    keys that state by registrable domain instead (face parity with
+    ``CrawlConfig.politeness_group``) — subdomain farms share one
+    budget.
 
     ``trap_filter`` applies the batch face's crawler-trap gate
     (functions/urls.is_trap_col — Heritrix decide rules) to every
@@ -108,8 +113,34 @@ def run_streaming_crawl(
             .parquet(retry_dir)
         )
         stream = stream.unionByName(retries)
+    if politeness_group not in ("host", "domain"):
+        raise ValueError(
+            f"run_streaming_crawl: unknown politeness_group "
+            f"{politeness_group!r} (supported: host, domain)"
+        )
+    if canonicalize not in ("conservative", "aggressive"):
+        raise ValueError(
+            f"run_streaming_crawl: unknown canonicalize "
+            f"{canonicalize!r} (supported: conservative, aggressive)"
+        )
+    # dedup/seen key parity with CrawlConfig.canonicalize: aggressive
+    # hashes the canon form (tracking-param variants collapse); the
+    # fetch join key (url_norm) is never altered
+    if canonicalize == "aggressive":
+        from memorious_spark.functions.urls import canon_col
+
+        dedup_hash = hash_col(canon_col(F.col("url")))
+    else:
+        dedup_hash = hash_col(F.col("url_norm"))
     if politeness_budget is not None:
-        cands = stream.withColumn("host", host_col(F.col("url")))
+        grp = host_col(F.col("url"))
+        if politeness_group == "domain":
+            from memorious_spark.functions.urls import (
+                registrable_domain_col,
+            )
+
+            grp = registrable_domain_col(grp)
+        cands = stream.withColumn("host", grp)
         stream = politeness_release(
             cands.select("host", "url", "emit_seq", "attempt"),
             politeness_budget,
@@ -125,7 +156,7 @@ def run_streaming_crawl(
         frontier = (
             gated
             .withColumn("url_norm", norm_col(F.col("url")))
-            .withColumn("url_hash", hash_col(F.col("url_norm")))
+            .withColumn("url_hash", dedup_hash)
             .withColumn("host", host_col(F.col("url")))
             .withColumn("depth", F.lit(0))
             .withColumn("priority", F.lit(0.0))

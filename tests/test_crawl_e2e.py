@@ -230,6 +230,102 @@ def test_budgeted_crawl_matches_budgeted_oracle(
         assert mx is None or mx <= budget, (rnd, mx)
 
 
+def test_domain_grouped_budget_caps_whole_corpus_domain(
+    spark, corpus, tmp_path_factory
+):
+    """politeness_group='domain': every corpus host is
+    ``h*.example.com``, so the registrable-domain budget caps the
+    ENTIRE round at ``budget`` fetches (host mode would grant budget
+    × n_hosts); the crawl still drains to completion — parked rows
+    carry over FIFO."""
+    import dataclasses
+
+    budget = 4
+    cfg = dataclasses.replace(
+        CFG, budget_per_host=budget, politeness_group="domain",
+        max_rounds=80,
+    )
+    store = RunStore(tmp_path_factory.mktemp("runs_dom"), "e2e", "runD")
+    result = CrawlRunner(spark, cfg, store).run(corpus)
+    assert result.status == "done" and result.pages_stored > 0
+    total = 0
+    for rnd in range(result.rounds):
+        df = store.read_round(spark, "results", rnd)
+        if df is None:
+            continue
+        n = df.count()
+        assert n <= budget, (rnd, n)
+        total += n
+    # same stored coverage as an unbudgeted run would reach (drained)
+    store_u = RunStore(tmp_path_factory.mktemp("runs_dom_u"), "e2e", "runU")
+    unbudgeted = CrawlRunner(spark, CFG, store_u).run(corpus)
+    assert total == unbudgeted.pages_stored
+
+
+def test_aggressive_canonicalize_collapses_tracking_variants(
+    spark, tmp_path_factory
+):
+    """canonicalize='aggressive': three /p variants that differ only
+    in param order / tracking params collapse to ONE seen entry (the
+    first emitter wins, FIFO), while the conservative default fetches
+    all three. The fetch key (url_norm) is untouched — the winning
+    variant is fetched under its REAL url."""
+    import dataclasses
+    from datetime import datetime
+
+    def page(url, links=()):
+        anchors = "".join(f'<a href="{u}">x</a>' for u in links)
+        html = f"<html><body>{anchors}</body></html>".encode()
+        return (
+            url, datetime(2024, 1, 1), html, "body", "en",
+            "text/html", 200, None,
+        )
+
+    variants = [
+        "https://x.test/p?b=2&a=1&utm_source=mail",
+        "https://x.test/p?a=1&b=2",
+        "https://x.test/p?a=1&b=2&fbclid=77",
+    ]
+    corpus = spark.createDataFrame(
+        [
+            page("https://x.test/a", [variants[0], "https://x.test/q"]),
+            page("https://x.test/b", [variants[1], variants[2]]),
+            page(variants[0]),
+            page(variants[1]),
+            page(variants[2]),
+            page("https://x.test/q"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, content_type string, status_code int, "
+        "redirect_to string",
+    )
+    base = CrawlConfig(
+        name="canon", seeds=("https://x.test/a", "https://x.test/b"),
+        max_rounds=6,
+    )
+
+    def run(cfg, tag):
+        store = RunStore(tmp_path_factory.mktemp(f"runs_{tag}"), "canon", tag)
+        res = CrawlRunner(spark, cfg, store).run(corpus)
+        assert res.status == "done"
+        urls = {
+            r["url"]
+            for r in store.read_all(spark, "results", 10)
+            .select("url").collect()
+        }
+        return urls
+
+    cons = run(base, "cons")
+    aggr = run(
+        dataclasses.replace(base, canonicalize="aggressive"), "aggr"
+    )
+    assert {v for v in variants} <= cons  # conservative fetches all 3
+    # aggressive: exactly one /p variant survives — the FIRST emitted
+    # (seed a's link, emit order before seed b's links)
+    assert aggr & set(variants) == {variants[0]}
+    assert "https://x.test/q" in aggr  # unrelated links unaffected
+
+
 def test_hot_host_budgeted_crawl_matches_oracle(spark, tmp_path_factory):
     """Skew: every 2nd doc lives on ONE hot host (hot_mod=2). The
     salted two-phase politeness must still produce the exact budgeted

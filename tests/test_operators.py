@@ -58,6 +58,33 @@ def test_politeness_carryover_fifo(spark):
     assert carry.count() == 5
 
 
+def test_politeness_domain_grouping(spark):
+    """group='domain': subdomain farms share ONE budget (here 3 for
+    all of *.blogspot.com) while host mode would grant 3 each; FIFO
+    order across the whole domain group; unknown group rejected."""
+    import pytest as _pytest
+
+    rows = [
+        (f"https://s{i}.blogspot.com/p", f"s{i % 4}.blogspot.com", 0.0, i)
+        for i in range(12)
+    ] + [("https://other.com/x", "other.com", 0.0, 100)]
+    frontier = spark.createDataFrame(
+        rows, "url string, host string, priority double, emit_seq long"
+    )
+    sel, carry = politeness_dequeue(frontier, budget=3, group="domain")
+    sel_rows = sel.collect()
+    blog = [r for r in sel_rows if r["host"].endswith("blogspot.com")]
+    assert len(blog) == 3
+    assert sorted(r["emit_seq"] for r in blog) == [0, 1, 2]
+    assert any(r["host"] == "other.com" for r in sel_rows)
+    assert carry.count() == 9
+    # host mode on the same frontier: 3 per HOST -> all 12 selected
+    sel_h, _ = politeness_dequeue(frontier, budget=3, group="host")
+    assert sel_h.count() == 13
+    with _pytest.raises(ValueError, match="unknown group"):
+        politeness_dequeue(frontier, budget=3, group="tld")
+
+
 def test_politeness_robots_gate(spark):
     frontier = spark.createDataFrame(
         [

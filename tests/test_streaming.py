@@ -98,6 +98,46 @@ def test_streaming_crawl_politeness_parks_hot_host(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_streaming_domain_grouped_politeness(spark, tmp_path):
+    """politeness_group='domain' keys the park/release state by
+    registrable domain: h1 and h2 are both *.example.com, so a budget
+    of 2 releases only the first two urls ACROSS hosts (host mode
+    would have released all three); unknown grouping rejected."""
+    import pytest as _pytest
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"), F.lit("txt").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    corpus = build_corpus(spark, docs, 60).persist()
+    corpus.count()
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(doc_url(1), 0), (doc_url(8), 1), (doc_url(2), 2)],
+        "url string, emit_seq long",
+    ).coalesce(1).write.parquet(str(seeds_dir / "b1"))
+    stream = stream_seed_source(spark, str(seeds_dir) + "/*")
+    with _pytest.raises(ValueError, match="politeness_group"):
+        run_streaming_crawl(
+            spark, stream, corpus, out_dir, ckpt,
+            politeness_budget=2, politeness_group="tld",
+        )
+    q = run_streaming_crawl(
+        spark, stream, corpus, out_dir, ckpt,
+        politeness_budget=2, politeness_group="domain",
+    )
+    q.awaitTermination(120)
+    urls1 = {
+        r["final_url"]
+        for r in spark.read.parquet(f"{out_dir}/batch=*").collect()
+    }
+    assert urls1 == {doc_url(1), doc_url(8)}
+    corpus.unpersist()
+
+
 def test_streaming_cache_replay_across_runs(spark, tmp_path):
     """Face parity: the streaming crawl probes + feeds the SAME
     crawler-scoped http_cache the batch face uses — a second streaming

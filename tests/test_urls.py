@@ -42,6 +42,58 @@ def test_column_matches_python(spark):
         assert row["ok"] == row["url"].lower().startswith(("http", "https")) or not row["ok"]
 
 
+def test_registrable_domain(spark):
+    hosts = [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("a.b.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("10.1.2.3", "10.1.2.3"),
+        ("shop.example.com.au", "example.com.au"),
+        ("x.gov.uk", "x.gov.uk"),
+    ]
+    df = spark.createDataFrame(hosts, "host string, want string")
+    got = df.select(
+        "host", "want",
+        urls.registrable_domain_col(F.col("host")).alias("dom"),
+    ).collect()
+    for r in got:
+        assert r["dom"] == r["want"], r["host"]
+        assert urls.py_registrable_domain(r["host"]) == r["want"], r["host"]
+
+
+def test_canon_col_sorts_and_strips_tracking(spark):
+    cases = [
+        # param order collapses; utm_* and click ids stripped
+        ("https://E.com/p?b=2&a=1&utm_source=x&fbclid=99",
+         "https://e.com/p?a=1&b=2"),
+        ("https://e.com/p?a=1&b=2", "https://e.com/p?a=1&b=2"),
+        # all params stripped -> query dropped entirely
+        ("https://e.com/p?utm_campaign=z&gclid=1", "https://e.com/p"),
+        # no query: norm_col semantics preserved (default port, path)
+        ("HTTP://e.com:80", "http://e.com/"),
+        # value containing 'utm_' is NOT a key prefix match
+        ("https://e.com/p?q=utm_x", "https://e.com/p?q=utm_x"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    for r in df.select(
+        "want", urls.canon_col(F.col("url")).alias("got")
+    ).collect():
+        assert r["got"] == r["want"]
+    # the two differently-ordered variants share one canonical key
+    two = spark.createDataFrame(
+        [("https://e.com/p?b=2&a=1&utm_source=x",),
+         ("https://e.com/p?a=1&b=2",)],
+        "url string",
+    )
+    keys = {
+        r["k"]
+        for r in two.select(urls.canon_col(F.col("url")).alias("k")).collect()
+    }
+    assert len(keys) == 1
+
+
 def test_hash_col_deterministic(spark):
     df = spark.createDataFrame([("https://example.com/a",)], "url string")
     h1 = df.select(urls.hash_col(F.col("url")).alias("h")).first()["h"]

@@ -324,6 +324,29 @@ def test_prioritize_yaml_wiring_and_equivalent_seen_set(spark, corpus, tmp_path)
     assert any(p < 0 for p in pri), "pagerank priority never engaged"
 
 
+def test_politeness_group_yaml_wiring(spark):
+    """`fetch.params.politeness_group: domain` parses into the config;
+    an unknown grouping is rejected at load."""
+    import yaml as _y
+
+    from memorious_spark.plans.pipeline import load_config
+
+    spec = _y.safe_load(_yaml(SEED_INIT, extra=""))
+    assert load_config(spec).politeness_group == "host"
+    spec["pipeline"]["fetch"]["params"]["politeness_group"] = "domain"
+    assert load_config(spec).politeness_group == "domain"
+    spec["pipeline"]["fetch"]["params"]["politeness_group"] = "tld"
+    with pytest.raises(ValueError, match="politeness_group"):
+        load_config(spec)
+    spec["pipeline"]["fetch"]["params"]["politeness_group"] = "host"
+    assert load_config(spec).canonicalize == "conservative"
+    spec["pipeline"]["fetch"]["params"]["canonicalize"] = "aggressive"
+    assert load_config(spec).canonicalize == "aggressive"
+    spec["pipeline"]["fetch"]["params"]["canonicalize"] = "surt"
+    with pytest.raises(ValueError, match="canonicalize"):
+        load_config(spec)
+
+
 def test_trap_filter_gates_frontier(spark, tmp_path):
     """`fetch.params.traps: true` drops pathological links before they
     enter the frontier: the trap page is never fetched, every clean
