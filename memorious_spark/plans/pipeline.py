@@ -38,7 +38,8 @@ __all__ = ["CrawlConfig", "load_yaml", "load_config"]
 
 _SUPPORTED_METHODS = {
     "seed", "sequence", "dates", "enumerate", "tee",
-    "fetch", "parse", "extract", "clean_html", "directory", "db", "inspect",
+    "fetch", "parse", "extract", "clean_html", "directory", "db",
+    "warc", "inspect",
 }
 
 
@@ -337,7 +338,7 @@ def load_config(spec: dict) -> CrawlConfig:
                 raise ValueError("clean_html handle chain too deep (cycle?)")
         if sink_name is not None:
             sink = stages[sink_name]
-            if sink.get("method") in ("directory", "db"):
+            if sink.get("method") in ("directory", "db", "warc"):
                 store_method = sink["method"]
                 store_params = dict(sink.get("params") or {})
     # fail fast on bad rule specs (reference raises per-task; we at load)

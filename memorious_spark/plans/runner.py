@@ -661,6 +661,31 @@ class CrawlRunner:
                 futs.append(pool.submit(
                     directory_sink, sink_rows, dir_path, cfg.name
                 ))
+            if cfg.store_method == "warc" and n_stored:
+                # YAML `warc` sink: the round's stored pages archived
+                # as member-per-record .warc.gz + CDXJ sidecars (the
+                # interchange layout a 100 TB crawl actually emits);
+                # one subdir per round so part files never collide
+                from memorious_spark.sources.warc import write_warc
+
+                wp = cfg.store_params or {}
+                warc_dir = wp.get("path", str(store.dir / "warc"))
+                warc_df = write_warc(
+                    sink_rows.select(
+                        F.col("url").alias("uri"),
+                        F.encode(F.col("text"), "utf-8").alias("payload"),
+                        F.date_format(
+                            "retrieved_at", "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                        ).alias("warc_date"),
+                        "content_type",
+                    ),
+                    f"{warc_dir}/round={rnd}",
+                    date_col="warc_date",
+                    content_type_col="content_type",
+                    compress=bool(wp.get("compress", True)),
+                    index=bool(wp.get("index", True)),
+                )
+                futs.append(pool.submit(warc_df.collect))
             if cfg.incremental:
                 run_id_str = store.dir.name
                 futs.append(pool.submit(

@@ -78,6 +78,52 @@ def test_directory_sink_from_yaml(spark, corpus, tmp_path_factory):
     assert any(f.read_text() for f in datas)
 
 
+def test_warc_sink_from_yaml(spark, corpus, tmp_path_factory):
+    """`store: {method: warc}`: every stored page lands in per-round
+    member-per-record .warc.gz archives with CDXJ sidecars; the full
+    gz scan AND the CDX-ranged fetch both reproduce the engine's
+    stored (url, text-bytes) exactly."""
+    out = tmp_path_factory.mktemp("warcsink")
+    cfg = load_yaml(_yaml(f"""
+  store:
+    method: warc
+    params: {{path: {out}}}
+"""))
+    assert cfg.store_method == "warc"
+    store = RunStore(tmp_path_factory.mktemp("runs_w"), cfg.name, "r1")
+    res = CrawlRunner(spark, cfg, store).run(corpus)
+    assert res.pages_stored > 50
+
+    from memorious_spark.sources.warc import (
+        read_cdx, read_warc, read_warc_records,
+    )
+
+    stored = {
+        r["url"]: r["text"].encode()
+        for r in store.read_all(spark, "results", 40)
+        .select("url", "text").collect()
+    }
+    back = {
+        r["uri"]: bytes(r["payload"])
+        for r in read_warc(spark, f"{out}/round=*/*.warc.gz").collect()
+    }
+    assert back == stored
+    cdx = read_cdx(spark, f"{out}/round=*/*.cdx")
+    assert cdx.count() == res.pages_stored
+    ranged = {
+        r["uri"]: bytes(r["payload"])
+        for r in read_warc_records(cdx).collect()
+    }
+    assert ranged == stored
+    # WARC-Date carries the engine's retrieved_at, not a constant
+    dates = {
+        r["warc_date"]
+        for r in read_warc(spark, f"{out}/round=*/*.warc.gz")
+        .select("warc_date").collect()
+    }
+    assert dates and all(d.startswith("20") for d in dates)
+
+
 def test_db_sink_with_children_and_merge(spark, corpus, tmp_path_factory):
     root = tmp_path_factory.mktemp("dbruns")
     yaml_text = _yaml("""
