@@ -57,6 +57,13 @@ class CrawlConfig:
     emit_errors: bool = False
     max_rounds: int = 25
     max_depth: int | None = None
+    # global page budget (Heritrix max-document-download / Nutch topN
+    # family; no reference analogue — a single-site crawler drains).
+    # Round-discretized like everything else: the run stops after the
+    # FIRST COMPLETE round at which total stored pages ≥ max_pages —
+    # rounds are never truncated mid-flight, so resume/commit
+    # semantics are untouched.
+    max_pages: int | None = None
     expire_days: int | None = None
     # incremental re-run mode: probe the crawler-scoped http_cache
     # (304 replay of unchanged pages) and skip re-storing content that
@@ -358,6 +365,10 @@ def load_config(spec: dict) -> CrawlConfig:
         budget_per_host=budget,
         max_rounds=int(spec.get("max_rounds", 25)),
         max_depth=spec.get("max_depth"),
+        max_pages=(
+            int(spec["max_pages"]) if spec.get("max_pages") is not None
+            else None
+        ),
         expire_days=spec.get("expire"),
         incremental=bool(spec.get("incremental", False)),
         store_method=store_method,

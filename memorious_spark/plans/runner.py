@@ -755,6 +755,16 @@ class CrawlRunner:
             rp.unpersist()
             ph.mark("metrics+commit")
             rnd += 1
+            if (
+                cfg.max_pages is not None
+                and totals["stored"] >= cfg.max_pages
+            ):
+                # global page budget hit AFTER a complete committed
+                # round (CrawlConfig.max_pages docstring) — the
+                # frontier checkpoint survives, so a later resume with
+                # a raised budget continues mid-crawl
+                status = "budget_exhausted"
+                break
 
         pool.shutdown(wait=False)
         # run-level sinks + the post-drain aggregator hook

@@ -262,6 +262,38 @@ def test_domain_grouped_budget_caps_whole_corpus_domain(
     assert total == unbudgeted.pages_stored
 
 
+def test_max_pages_budget_stops_then_resumes_to_full_crawl(
+    spark, corpus, tmp_path_factory
+):
+    """max_pages: the run stops after the first COMPLETE round at
+    which stored ≥ budget (status 'budget_exhausted', frontier
+    checkpoint intact, aggregator never fires); resuming with the
+    budget lifted drains to exactly the unbudgeted crawl."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, max_pages=10)
+    store = RunStore(tmp_path_factory.mktemp("runs_mp"), "e2e", "runM")
+    res = CrawlRunner(spark, cfg, store).run(corpus)
+    assert res.status == "budget_exhausted"
+    assert res.pages_stored >= 10
+    res2 = CrawlRunner(
+        spark, dataclasses.replace(CFG, max_pages=None), store
+    ).run(corpus, resume=True)
+    assert res2.status == "done"
+    store_f = RunStore(tmp_path_factory.mktemp("runs_mpf"), "e2e", "runF")
+    full = CrawlRunner(spark, CFG, store_f).run(corpus)
+    assert res2.pages_stored == full.pages_stored
+    got = {
+        r["url"]
+        for r in store.read_all(spark, "results", 60).select("url").collect()
+    }
+    want = {
+        r["url"]
+        for r in store_f.read_all(spark, "results", 60).select("url").collect()
+    }
+    assert got == want
+
+
 def test_aggressive_canonicalize_collapses_tracking_variants(
     spark, tmp_path_factory
 ):

@@ -345,6 +345,10 @@ def test_politeness_group_yaml_wiring(spark):
     spec["pipeline"]["fetch"]["params"]["canonicalize"] = "surt"
     with pytest.raises(ValueError, match="canonicalize"):
         load_config(spec)
+    spec["pipeline"]["fetch"]["params"]["canonicalize"] = "aggressive"
+    assert load_config(spec).max_pages is None
+    spec["max_pages"] = 500
+    assert load_config(spec).max_pages == 500
 
 
 def test_trap_filter_gates_frontier(spark, tmp_path):
