@@ -92,6 +92,11 @@ class CrawlConfig:
     # top-level `robots: true` derives the per-host gate table from
     # the corpus's own /robots.txt pages at run start
     use_robots: bool = False
+    # sitemap discovery from robots.txt `Sitemap:` directives
+    # (top-level `robots_sitemaps: true`): advertised sitemap URLs
+    # join the round-0 frontier after the seeds; pair with
+    # parse.params.sitemaps to walk sitemapindex → urlset → pages
+    robots_sitemaps: bool = False
     # frontier prioritization (the north rule's PRIORITY queue; no
     # reference analogue — memorious drains FIFO): "pagerank" re-ranks
     # budget-constrained rounds by link authority over the link graph
@@ -379,6 +384,7 @@ def load_config(spec: dict) -> CrawlConfig:
         extract_wildcard=extract_wildcard,
         inspect_enabled=inspect_enabled,
         use_robots=bool(spec.get("robots", False)),
+        robots_sitemaps=bool(spec.get("robots_sitemaps", False)),
         init_method=init_method,
         init_params=init_params,
         seed_templates=seed_templates,

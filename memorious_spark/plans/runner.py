@@ -299,6 +299,38 @@ class CrawlRunner:
                 )
 
                 initial_frontier = compile_initial_frontier(spark, cfg, store)
+            if cfg.robots_sitemaps:
+                # robots.txt `Sitemap:` discovery: advertised sitemap
+                # URLs enter the round-0 frontier AFTER the seeds
+                # (emit order: seeds in list order, then sitemaps in
+                # URL order — the global window is safe, the table is
+                # ≤ a few rows per host)
+                from pyspark.sql import Window
+
+                from memorious_spark.functions.robots import (
+                    robots_sitemap_table,
+                )
+
+                if initial_frontier is None:
+                    initial_frontier = spark.createDataFrame(
+                        [(u, i) for i, u in enumerate(cfg.seeds)],
+                        "url string, emit_seq long",
+                    )
+                    n0 = len(cfg.seeds)
+                else:
+                    n0 = initial_frontier.count()
+                sm = robots_sitemap_table(corpus).join(
+                    initial_frontier.select("url"), "url", "left_anti"
+                )
+                sm = sm.select(
+                    "url",
+                    (
+                        F.row_number().over(Window.orderBy("url")) - 1 + n0
+                    ).cast("long").alias("emit_seq"),
+                )
+                initial_frontier = initial_frontier.select(
+                    "url", "emit_seq"
+                ).unionByName(sm)
             if initial_frontier is not None:
                 frontier0 = self._frontier_shape(initial_frontier, depth=F.lit(0))
                 obs0 = Observation()

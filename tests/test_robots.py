@@ -7,6 +7,22 @@ from pyspark.sql import functions as F
 from memorious_spark.functions.robots import parse_robots, robots_table
 from memorious_spark.operators.frontier import politeness_dequeue
 
+
+def test_parse_robots_sitemaps():
+    from memorious_spark.functions.robots import parse_robots_sitemaps
+
+    text = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://a.com/s1.xml\n"
+        "sitemap:   http://a.com/s2.xml   # comment\n"
+        "Sitemap: /relative-invalid.xml\n"
+    )
+    assert parse_robots_sitemaps(text) == [
+        "https://a.com/s1.xml", "http://a.com/s2.xml",
+    ]
+    assert parse_robots_sitemaps(None) == []
+    assert parse_robots_sitemaps("User-agent: *\nDisallow:") == []
+
 ROBOTS = """User-agent: *
 Disallow: /private/
 Crawl-delay: 30

@@ -424,6 +424,86 @@ pipeline:
     assert with_gate == without_gate - {trap_url}
 
 
+def test_robots_sitemap_discovery_feeds_frontier(spark, tmp_path):
+    """`robots_sitemaps: true`: the sitemap URL advertised by a host's
+    robots.txt joins the round-0 frontier after the seeds, and with
+    `parse.params.sitemaps: true` its urlset pages are crawled; with
+    the flag off the same crawl never discovers them."""
+    import datetime
+
+    from memorious_spark.plans.pipeline import load_yaml
+
+    def page(url, body, ctype, text=None):
+        return (
+            url, datetime.datetime(2026, 1, 1), bytearray(body.encode()),
+            text, "en", ctype, 200, None,
+        )
+
+    robots = (
+        "User-agent: *\nDisallow:\n"
+        "Sitemap: https://r.example.com/pages.xml\n"
+    )
+    urlset = ('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc>https://r.example.com/p/1</loc></url>"
+              "<url><loc>https://r.example.com/p/2</loc></url></urlset>")
+    corpus = spark.createDataFrame(
+        [
+            page("https://r.example.com/robots.txt", robots, "text/plain"),
+            page("https://r.example.com/pages.xml", urlset,
+                 "application/xml"),
+            page("https://r.example.com/", "<html><body>home</body></html>",
+                 "text/html", "home"),
+            page("https://r.example.com/p/1",
+                 "<html><body>one</body></html>", "text/html", "one"),
+            page("https://r.example.com/p/2",
+                 "<html><body>two</body></html>", "text/html", "two"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, content_type string, status_code int, "
+        "redirect_to string",
+    )
+
+    def run(flag, tag):
+        y = f"""
+name: robosmap
+max_rounds: 8
+robots_sitemaps: {str(flag).lower()}
+pipeline:
+  init:
+    method: seed
+    params: {{urls: ["https://r.example.com/"]}}
+    handle: {{pass: fetch}}
+  fetch:
+    method: fetch
+    params: {{retry: 1, rules: {{mime_group: web}}}}
+    handle: {{pass: parse}}
+  parse:
+    method: parse
+    params:
+      sitemaps: true
+      store: {{mime_type: "text/html"}}
+    handle: {{store: store, fetch: fetch}}
+  store:
+    method: db
+"""
+        cfg = load_yaml(y)
+        assert cfg.robots_sitemaps is flag
+        store = RunStore(tmp_path / f"runs_rs_{tag}", "robosmap", "r1")
+        res = CrawlRunner(spark, cfg, store).run(corpus)
+        assert res.status == "done"
+        stored = set()
+        for r in range(8):
+            df = store.read_round(spark, "results", r)
+            if df is not None:
+                stored |= {x.url for x in df.select("url").collect()}
+        return stored
+
+    on = run(True, "on")
+    assert {"https://r.example.com/p/1", "https://r.example.com/p/2"} <= on
+    off = run(False, "off")
+    assert off == {"https://r.example.com/"}
+
+
 def test_sitemap_feeds_frontier(spark, tmp_path):
     """`parse.params.sitemaps: true`: a seeded sitemap.xml (urlset →
     sitemapindex chain) feeds its <loc> URLs into the frontier and the
