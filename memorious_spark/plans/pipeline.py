@@ -109,6 +109,13 @@ class CrawlConfig:
     # domain via functions/urls.py PSL-lite, so subdomain farms share
     # one budget instead of multiplying it (no reference analogue)
     politeness_group: str = "host"
+    # per-host error backoff (Heritrix retry-delay / queue-snooze
+    # family; no reference analogue): a host producing ≥ threshold
+    # HTTP-error responses (status ≥ 400) in one round is SNOOZED —
+    # its frontier rows carry over untouched for the next
+    # backoff_rounds rounds, then re-enter FIFO. None disables.
+    backoff_threshold: int | None = None
+    backoff_rounds: int = 2
     # frontier dedup key: "conservative" hashes url_norm (the
     # reference's seen contract — crawl-order oracles require it);
     # "aggressive" hashes functions/urls.canon_col (sorted query
@@ -269,6 +276,7 @@ def load_config(spec: dict) -> CrawlConfig:
     trap_filter = False
     politeness_group = "host"
     canonicalize = "conservative"
+    backoff_threshold, backoff_rounds = None, 2
     for stage in stages.values():
         method = stage.get("method")
         params = stage.get("params") or {}
@@ -299,6 +307,20 @@ def load_config(spec: dict) -> CrawlConfig:
                     f"{canonicalize!r} (supported: conservative, "
                     "aggressive)"
                 )
+            eb = params.get("error_backoff")
+            if eb is not None:
+                if not isinstance(eb, dict) or "threshold" not in eb:
+                    raise ValueError(
+                        "fetch error_backoff: expected a mapping with "
+                        f"'threshold' (and optional 'rounds'), got {eb!r}"
+                    )
+                backoff_threshold = int(eb["threshold"])
+                backoff_rounds = int(eb.get("rounds", 2))
+                if backoff_threshold < 1 or backoff_rounds < 1:
+                    raise ValueError(
+                        "fetch error_backoff: threshold and rounds "
+                        "must be >= 1"
+                    )
         elif method == "extract":
             extract_enabled = True
             extract_wildcard = params.get("wildcard")
@@ -394,4 +416,6 @@ def load_config(spec: dict) -> CrawlConfig:
         trap_filter=trap_filter,
         politeness_group=politeness_group,
         canonicalize=canonicalize,
+        backoff_threshold=backoff_threshold,
+        backoff_rounds=backoff_rounds,
     )

@@ -374,6 +374,28 @@ class CrawlRunner:
 
             seen = store.read_all(spark, "seen", rnd - 1, SEEN_SCHEMA)
 
+            # per-host error backoff (CrawlConfig.backoff_threshold):
+            # hosts snoozed by an earlier round's error burst park
+            # their frontier rows untouched until until_round; the
+            # snooze table is ≤ one row per erroring host — broadcast
+            backoff_parked = None
+            if cfg.backoff_threshold is not None:
+                snooze = store.read_all(
+                    spark, "snooze", rnd - 1, "host string, until_round int"
+                )
+                if snooze is not None:
+                    live_snooze = (
+                        snooze.filter(F.col("until_round") > rnd)
+                        .select("host")
+                        .distinct()
+                    )
+                    backoff_parked = frontier.join(
+                        F.broadcast(live_snooze), "host", "left_semi"
+                    )
+                    frontier = frontier.join(
+                        F.broadcast(live_snooze), "host", "left_anti"
+                    )
+
             # politeness budget + hot-host salting. No configured rate
             # limit and no robots → no parking semantics to enforce →
             # skip the per-host window entirely (one less shuffle; the
@@ -412,6 +434,12 @@ class CrawlRunner:
                     frontier, cfg.budget_per_host, self.robots,
                     group=cfg.politeness_group,
                 )
+            if backoff_parked is not None:
+                carryover = (
+                    backoff_parked
+                    if carryover is None
+                    else carryover.unionByName(backoff_parked)
+                )
             selected = salt_partitions(selected).persist()
 
             def _histogram():
@@ -427,7 +455,7 @@ class CrawlRunner:
                 ]
 
             defer_hist = False
-            if no_politeness and frontier_rows >= 0:
+            if no_politeness and frontier_rows >= 0 and backoff_parked is None:
                 # fast path — ZERO jobs here: selection kept the whole
                 # frontier, whose exact row count rode last round's
                 # frontier-write observation, and per-partition lineage
@@ -676,6 +704,24 @@ class CrawlRunner:
                 pool.submit(store.write_round, "frontier", rnd + 1, next_frontier),
                 pool.submit(store.write_round, "seen", rnd, seen_rows),
             ]
+            if cfg.backoff_threshold is not None:
+                # snooze the hosts that error-burst THIS round (off the
+                # parsed cache — rides wave 3 like the other writes)
+                snooze_rows = (
+                    parsed.filter(F.col("status_code") >= 400)
+                    .groupBy("host")
+                    .agg(F.count("*").alias("n"))
+                    .filter(F.col("n") >= cfg.backoff_threshold)
+                    .select(
+                        "host",
+                        F.lit(rnd + 1 + cfg.backoff_rounds)
+                        .cast("int")
+                        .alias("until_round"),
+                    )
+                )
+                futs.append(pool.submit(
+                    store.write_round, "snooze", rnd, snooze_rows
+                ))
             if members is not None:
                 # extract stage output; re-runs the (broadcast) corpus
                 # join for the archive subset — only when configured

@@ -262,6 +262,68 @@ def test_domain_grouped_budget_caps_whole_corpus_domain(
     assert total == unbudgeted.pages_stored
 
 
+def test_error_backoff_snoozes_bursting_host(spark, tmp_path_factory):
+    """error_backoff {threshold: 3, rounds: 2}: a host that returns
+    ≥3 HTTP errors in one round is snoozed — its NEXT url parks
+    untouched for exactly 2 rounds, then fetches; without backoff the
+    same url fetches immediately. Unaffected hosts never park."""
+    import dataclasses
+    from datetime import datetime
+
+    def page(url, links=(), status=200):
+        anchors = "".join(f'<a href="{u}">x</a>' for u in links)
+        html = f"<html><body>{anchors}</body></html>".encode()
+        return (
+            url, datetime(2024, 1, 1), html, "body", "en",
+            "text/html", status, None,
+        )
+
+    bad = [f"https://bad.test/e{i}" for i in range(3)]
+    corpus = spark.createDataFrame(
+        [
+            page("https://good.test/seed",
+                 bad + ["https://bad.test/ok", "https://good.test/g2"]),
+            *[page(u, status=500) for u in bad],
+            page("https://bad.test/ok", ["https://bad.test/next"]),
+            page("https://good.test/g2"),
+            page("https://bad.test/next"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, content_type string, status_code int, "
+        "redirect_to string",
+    )
+    base = CrawlConfig(
+        name="backoff", seeds=("https://good.test/seed",), max_rounds=10,
+    )
+
+    def rounds_of(cfg, tag):
+        store = RunStore(tmp_path_factory.mktemp(f"runs_{tag}"), "bo", tag)
+        res = CrawlRunner(spark, cfg, store).run(corpus)
+        assert res.status == "done"
+        where = {}
+        for r in range(res.rounds):
+            df = store.read_round(spark, "results", r)
+            if df is not None:
+                for x in df.select("url").collect():
+                    where[x["url"]] = r
+        return where
+
+    plain = rounds_of(base, "off")
+    # without backoff: next is discovered in round 1, fetched round 2
+    assert plain["https://bad.test/next"] == 2
+    backed = rounds_of(
+        dataclasses.replace(base, backoff_threshold=3, backoff_rounds=2),
+        "on",
+    )
+    # round 1 fetches the 3 errors -> bad.test snoozed rounds 2 and 3;
+    # /next (discovered round 1) parks twice and fetches round 4
+    assert backed["https://bad.test/next"] == 4
+    # the good host was never parked
+    assert backed["https://good.test/g2"] == plain["https://good.test/g2"]
+    # same final coverage either way
+    assert set(backed) == set(plain)
+
+
 def test_max_pages_budget_stops_then_resumes_to_full_crawl(
     spark, corpus, tmp_path_factory
 ):

@@ -349,6 +349,18 @@ def test_politeness_group_yaml_wiring(spark):
     assert load_config(spec).max_pages is None
     spec["max_pages"] = 500
     assert load_config(spec).max_pages == 500
+    assert load_config(spec).backoff_threshold is None
+    spec["pipeline"]["fetch"]["params"]["error_backoff"] = {
+        "threshold": 5, "rounds": 3,
+    }
+    cfg_eb = load_config(spec)
+    assert (cfg_eb.backoff_threshold, cfg_eb.backoff_rounds) == (5, 3)
+    spec["pipeline"]["fetch"]["params"]["error_backoff"] = {"rounds": 3}
+    with pytest.raises(ValueError, match="error_backoff"):
+        load_config(spec)
+    spec["pipeline"]["fetch"]["params"]["error_backoff"] = {"threshold": 0}
+    with pytest.raises(ValueError, match="error_backoff"):
+        load_config(spec)
 
 
 def test_trap_filter_gates_frontier(spark, tmp_path):
