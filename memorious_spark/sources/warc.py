@@ -61,7 +61,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -74,6 +76,7 @@ __all__ = [
     "read_warc_records",
     "surt_key",
     "WARC_RECORD_SCHEMA",
+    "WARC_HTTP_SCHEMA",
     "CDX_SCHEMA",
 ]
 
@@ -98,6 +101,37 @@ _WRITE_SUMMARY_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
     ]
 )
+
+WARC_HTTP_SCHEMA = StructType(
+    list(WARC_RECORD_SCHEMA.fields)
+    + [
+        StructField("http_status", IntegerType()),
+        StructField("http_headers", MapType(StringType(), StringType())),
+        StructField("http_body", BinaryType()),
+    ]
+)
+
+
+def _augment_http(row: dict) -> dict:
+    res = (
+        _http_split(row["payload"])
+        if (
+            row.get("warc_type") == "response"
+            and (row.get("content_type") or "").startswith(
+                "application/http"
+            )
+        )
+        else None
+    )
+    if res is None:
+        row.update(http_status=None, http_headers=None, http_body=None)
+    else:
+        status, headers, body = res
+        row.update(
+            http_status=status, http_headers=headers, http_body=body
+        )
+    return row
+
 
 CDX_SCHEMA = StructType(
     [
@@ -158,6 +192,53 @@ def _fs_for(path: str):
     return pafs.FileSystem.from_uri(path)
 
 
+_HTTP_REASONS = {
+    200: "OK", 204: "No Content", 301: "Moved Permanently",
+    302: "Found", 304: "Not Modified", 400: "Bad Request",
+    403: "Forbidden", 404: "Not Found", 429: "Too Many Requests",
+    500: "Internal Server Error", 503: "Service Unavailable",
+}
+
+
+def _http_envelope(
+    status: int, ctype: str, body: bytes, extra: dict | None = None
+) -> bytes:
+    """Deterministic HTTP/1.1 response head for a ``response`` record:
+    status line, Content-Type, Content-Length, then any extra headers
+    sorted by name (Content-Type/Length always ours — they describe
+    the body as archived)."""
+    lines = [
+        f"HTTP/1.1 {status} {_HTTP_REASONS.get(status, 'Status')}",
+        f"Content-Type: {ctype}",
+        f"Content-Length: {len(body)}",
+    ]
+    for k in sorted(extra or {}):
+        if k.lower() not in ("content-type", "content-length"):
+            lines.append(f"{k}: {extra[k]}")
+    return "\r\n".join(lines).encode("latin-1") + _CRLF * 2 + body
+
+
+def _http_split(payload: bytes):
+    """(status, headers, body) of an ``application/http`` response
+    payload, or None when it isn't one."""
+    if not payload.startswith(b"HTTP/"):
+        return None
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return None
+    head = payload[:sep].decode("latin-1").split("\r\n")
+    parts = head[0].split(" ", 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None
+    headers = {}
+    for h in head[1:]:
+        k, _, v = h.partition(":")
+        headers[k.strip()] = v.strip()
+    return status, headers, payload[sep + 4:]
+
+
 def _record_bytes(
     uri: str, date: str, ctype: str, payload: bytes, warc_type: str
 ) -> bytes:
@@ -187,6 +268,8 @@ def write_warc(
     prefix: str = "part",
     compress: bool = False,
     index: bool = False,
+    http_status_col: str | None = None,
+    http_headers_col: str | None = None,
 ) -> DataFrame:
     """Write one ``<prefix>-NNNNN.warc`` file per partition of ``df``
     under ``path`` (any ``pyarrow.fs`` URI). Returns the per-file
@@ -204,12 +287,24 @@ def write_warc(
     range when compressed). Both sidecar and archive come from the
     same single pass — no second scan, no driver involvement.
 
+    ``http_status_col`` switches to the Common Crawl ``response``
+    record shape: the payload becomes a full HTTP/1.1 response
+    (deterministic status line + Content-Type/Length + optional
+    ``http_headers_col`` map sorted by name + body), the record's
+    Content-Type becomes ``application/http; msgtype=response``, and
+    the CDX ``mime``/``digest`` keep describing the ENTITY (the page's
+    content type, sha1 of the body) exactly as CC's index does. Read
+    back with ``parse_http=True``.
+
     ``date_col``/``content_type_col`` default to constant
     ``1970-01-01T00:00:00Z`` / ``application/octet-stream`` when
     absent, keeping output a pure function of the data."""
     fs, root = _fs_for(path)
     fs.create_dir(root, recursive=True)
     ext = ".warc.gz" if compress else ".warc"
+    http_mode = http_status_col is not None
+    if http_mode:
+        warc_type = "response"
     sel = [
         F.col(uri_col).cast("string").alias("uri"),
         F.col(payload_col).cast("binary").alias("payload"),
@@ -221,6 +316,14 @@ def write_warc(
             if content_type_col
             else F.lit("application/octet-stream")
         ).cast("string").alias("ctype"),
+        (
+            F.col(http_status_col) if http_mode else F.lit(None)
+        ).cast("int").alias("status"),
+        (
+            F.col(http_headers_col)
+            if http_headers_col
+            else F.lit(None)
+        ).cast("map<string,string>").alias("hdrs"),
     ]
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -245,18 +348,29 @@ def write_warc(
         )
         try:
             for b in batches:
-                for uri, payload, date, ctype in zip(
-                    b["uri"], b["payload"], b["date"], b["ctype"]
+                for uri, payload, date, ctype, status, hdrs in zip(
+                    b["uri"], b["payload"], b["date"], b["ctype"],
+                    b["status"], b["hdrs"],
                 ):
-                    payload = bytes(payload)
-                    rec = _record_bytes(uri, date, ctype, payload, warc_type)
+                    body = bytes(payload)
+                    if http_mode:
+                        rec_payload = _http_envelope(
+                            int(status), ctype, body,
+                            dict(hdrs) if hdrs is not None else None,
+                        )
+                        rec_ctype = "application/http; msgtype=response"
+                    else:
+                        rec_payload, rec_ctype = body, ctype
+                    rec = _record_bytes(
+                        uri, date, rec_ctype, rec_payload, warc_type
+                    )
                     if compress:
                         rec = _gzip_member(rec)
                     out.write(rec)
                     if cdx_out is not None:
                         meta = {
                             "url": uri,
-                            "digest": hashlib.sha1(payload).hexdigest(),
+                            "digest": hashlib.sha1(body).hexdigest(),
                             "mime": ctype,
                             "offset": total,
                             "length": len(rec),
@@ -322,14 +436,21 @@ def _parse_warc_bytes(blob: bytes, fname: str) -> Iterator[dict]:
         }
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path: str, parse_http: bool = False
+) -> DataFrame:
     """Scan ``path`` (glob ok) for ``.warc``/``.warc.gz`` files and
     return one row per record with :data:`WARC_RECORD_SCHEMA`.
     File-level parallelism (see module docstring); gzip archives are
     decompressed member-by-member (``gzip`` handles the concatenated-
     member layout natively); malformed records raise with the file
-    name — a corrupt archive fails loud, never truncates silently."""
+    name — a corrupt archive fails loud, never truncates silently.
+
+    ``parse_http=True`` adds ``http_status/http_headers/http_body``
+    columns, split out of ``application/http`` response records (null
+    for other record types)."""
     files = spark.read.format("binaryFile").load(path)
+    schema = WARC_HTTP_SCHEMA if parse_http else WARC_RECORD_SCHEMA
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -338,12 +459,12 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 if fpath.endswith(".gz"):
                     blob = gzip.decompress(blob)
                 rows = list(_parse_warc_bytes(blob, fpath))
+                if parse_http:
+                    rows = [_augment_http(r) for r in rows]
                 if rows:
                     yield pd.DataFrame(rows)
 
-    return files.select("path", "content").mapInPandas(
-        _parse, WARC_RECORD_SCHEMA
-    )
+    return files.select("path", "content").mapInPandas(_parse, schema)
 
 
 _CDX_JSON_SCHEMA = (
@@ -381,7 +502,7 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_warc_records(cdx: DataFrame) -> DataFrame:
+def read_warc_records(cdx: DataFrame, parse_http: bool = False) -> DataFrame:
     """Random-access fetch of exactly the records a (filtered) CDX
     DataFrame names: seek ``offset``, read ``length`` bytes, gunzip
     the member when the archive is ``.gz``, parse the one record.
@@ -427,11 +548,15 @@ def read_warc_records(cdx: DataFrame) -> DataFrame:
                             f"{fpath}: CDX range [{off}, {off}+{length}) "
                             f"holds {len(recs)} records, expected 1"
                         )
-                    rows.append(recs[0])
+                    rows.append(
+                        _augment_http(recs[0]) if parse_http else recs[0]
+                    )
                 if rows:
                     yield pd.DataFrame(rows)
         finally:
             if handle is not None:
                 handle.close()
 
-    return sel.mapInPandas(_fetch, WARC_RECORD_SCHEMA)
+    return sel.mapInPandas(
+        _fetch, WARC_HTTP_SCHEMA if parse_http else WARC_RECORD_SCHEMA
+    )
