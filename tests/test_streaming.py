@@ -138,6 +138,57 @@ def test_streaming_domain_grouped_politeness(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_streaming_aggressive_canonicalize_collapses_variants(
+    spark, tmp_path
+):
+    """canonicalize='aggressive' on the stream face: a later trigger's
+    tracking-param variant of an already-crawled url is deduped by the
+    canon-keyed seen hash (conservative mode would fetch it again)."""
+    import datetime
+
+    def page(url):
+        return (
+            url, datetime.datetime(2024, 1, 1),
+            bytearray(b"<html><body>x</body></html>"), "x", "en",
+            "text/html", 200, None,
+        )
+
+    u1 = "https://c.test/p?b=2&a=1&utm_source=m"
+    u2 = "https://c.test/p?a=1&b=2"
+    corpus = spark.createDataFrame(
+        [page(u1), page(u2)],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, content_type string, status_code int, "
+        "redirect_to string",
+    ).persist()
+    corpus.count()
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(u1, 0)], "url string, emit_seq long"
+    ).coalesce(1).write.parquet(str(seeds_dir / "b1"))
+    stream = stream_seed_source(spark, str(seeds_dir) + "/*")
+    q = run_streaming_crawl(
+        spark, stream, corpus, out_dir, ckpt, canonicalize="aggressive"
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(
+        [(u2, 1)], "url string, emit_seq long"
+    ).coalesce(1).write.parquet(str(seeds_dir / "b2"))
+    q2 = run_streaming_crawl(
+        spark, stream, corpus, out_dir, ckpt, canonicalize="aggressive"
+    )
+    q2.awaitTermination(120)
+    urls = {
+        r["url"]
+        for r in spark.read.parquet(f"{out_dir}/batch=*").collect()
+    }
+    assert urls == {u1}  # the canon twin never re-fetched
+    corpus.unpersist()
+
+
 def test_streaming_cache_replay_across_runs(spark, tmp_path):
     """Face parity: the streaming crawl probes + feeds the SAME
     crawler-scoped http_cache the batch face uses — a second streaming
