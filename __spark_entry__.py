@@ -34,6 +34,7 @@ N_PERM, N_BANDS = 16, 4
 KNN_PLANES = 6
 EMB_DIM = 64
 IVF_K, IVF_NPROBE, IVF_SPACING = 8, 2, 37
+PQ_M, PQ_NC, PQ_SPACING = 4, 16, 31  # 16-dim subspaces over dim 64
 SEMDEDUP_THR = 0.35
 SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 DSIR_BUCKETS = 8192
@@ -991,6 +992,18 @@ pipeline:
             n_centroids=IVF_K, nprobe=IVF_NPROBE, spacing=IVF_SPACING,
         )
 
+    def ann_pq_knn(spark, sf_dir):
+        """Product-quantization ADC top-k (Jégou et al. 2011): the
+        corpus is encoded to m=4 codes (deterministic strided-seed
+        codebooks), every vector scored by the query's asymmetric-
+        distance LUT WITHOUT touching raw vectors, the k·refine best
+        approximate candidates exact-cosine re-ranked. Completes the
+        ANN ladder brute → LSH → IVF → PQ."""
+        return similarity.knn_pq(
+            _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
+            m=PQ_M, n_codes=PQ_NC, spacing=PQ_SPACING, refine=4,
+        )
+
     def dedup_components_op(spark, sf_dir):
         """Connected components over the minhash candidate pairs —
         cluster id = min doc_id of the component (the canonical doc a
@@ -1690,6 +1703,7 @@ pipeline:
         "embedding_knn": embedding_knn,
         "ann_lsh_knn": ann_lsh_knn,
         "ann_ivf_knn": ann_ivf_knn,
+        "ann_pq_knn": ann_pq_knn,
         "dedup_components": dedup_components_op,
         "corpus_dedup": corpus_dedup_op,
         "corpus_curate": corpus_curate_op,
@@ -2114,6 +2128,60 @@ def oracle_sql() -> dict[str, str]:
             FROM assign b, q
             WHERE b.rn = 1 AND b.cid IN (SELECT cid FROM probes)
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # PQ-ADC: codebooks rebuilt closed-form from the strided seed
+        # rows, per-subspace argmin encode (rn=1), LUT-summed approx
+        # distance rounded to 6 dp (the engine rounds identically
+        # before ranking), k·refine candidate cut, exact cosine re-rank
+        "ann_pq_knn": f"""
+            WITH cb AS (
+              SELECT CAST(vec_id / {PQ_SPACING} AS INT) AS code,
+                     embedding AS cv
+              FROM embeddings
+              WHERE vec_id % {PQ_SPACING} = 0
+                AND vec_id < {PQ_NC * PQ_SPACING}
+            ),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            sub AS (
+              SELECT j FROM unnest(generate_series(0, {PQ_M - 1})) t(j)
+            ),
+            enc AS (
+              SELECT e.vec_id, s.j, c.code,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id, s.j
+                       ORDER BY
+                         (SELECT sum(
+                            (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)
+                          * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE))
+                          FROM unnest(generate_series(
+                            s.j*{EMB_DIM // PQ_M}+1,
+                            s.j*{EMB_DIM // PQ_M}+{EMB_DIM // PQ_M})) t(i)),
+                         c.code
+                     ) AS rn
+              FROM embeddings e CROSS JOIN sub s CROSS JOIN cb c
+            ),
+            lut AS (
+              SELECT s.j, c.code,
+                     (SELECT sum(
+                        (q.qv[i]::DOUBLE - c.cv[i]::DOUBLE)
+                      * (q.qv[i]::DOUBLE - c.cv[i]::DOUBLE))
+                      FROM unnest(generate_series(
+                        s.j*{EMB_DIM // PQ_M}+1,
+                        s.j*{EMB_DIM // PQ_M}+{EMB_DIM // PQ_M})) t(i)) AS d
+              FROM sub s CROSS JOIN cb c, q
+            ),
+            approx AS (
+              SELECT e.vec_id, round(sum(l.d), 6) AS ad
+              FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+              WHERE e.rn = 1 GROUP BY e.vec_id
+            ),
+            cand AS (
+              SELECT vec_id FROM approx ORDER BY ad, vec_id LIMIT 40
+            )
+            SELECT b.vec_id,
+                   round({_cosine_sql('b.embedding', 'q.qv')}, 6) AS cosine
+            FROM embeddings b JOIN cand USING (vec_id), q
+            ORDER BY cosine DESC, b.vec_id LIMIT 10
         """,
         "dedup_components": f"""
             WITH RECURSIVE {_SHINGLES_CTE.lstrip().rstrip()},

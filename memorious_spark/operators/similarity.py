@@ -21,6 +21,8 @@ __all__ = [
     "query_probe_buckets", "ivf_seed_centroids", "ivf_assign_col",
     "ivf_assign_udf", "ivf_assign_join", "ivf_train", "knn_ivf",
     "build_ann_index", "knn_lsh_serve", "build_ivf_index", "knn_ivf_serve",
+    "pq_seed_codebooks", "pq_encode_col", "pq_encode_udf", "pq_encode",
+    "knn_pq",
 ]
 
 
@@ -492,6 +494,170 @@ def knn_ivf(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         assigned.filter(F.col("_b").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---- product quantization (IVF-ADC family; Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search", IEEE TPAMI) ----
+
+# Above this m·n_codes the literal-expression encode path (m·n_codes
+# inlined sub-distance aggregates in one Column) exceeds codegen
+# limits — encoding becomes an Arrow-batched numpy matmul, exactly
+# like the IVF assignment auto-routing.
+_PQ_LITERAL_MAX = 256
+
+
+def pq_seed_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    spacing: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic PQ codebooks: the vector dimension splits into
+    ``m`` contiguous subspaces, and subspace ``j``'s code ``i`` is the
+    j-th slice of the vector at ``vec_id = i · spacing`` (the same
+    strided-seed convention as :func:`ivf_seed_centroids`, so the
+    DuckDB oracle rebuilds the codebooks closed-form; production would
+    Lloyd-refine per subspace through the ``ivf_train`` seam).
+    Returns ``codebooks[j] = [(code, subvector)]`` sorted by code;
+    fails LOUD on missing seed rows — positions index codes."""
+    seeds = ivf_seed_centroids(emb, n_codes, spacing, id_col, vec_col)
+    dim = len(seeds[0][1])
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [(code, vec[j * sub:(j + 1) * sub]) for code, vec in seeds]
+        for j in range(m)
+    ]
+
+
+def pq_encode_col(vec_col: Column, codebooks) -> Column:
+    """``array<int>`` of per-subspace nearest-code ids, pure Column
+    (m·n_codes literal sub-distance aggregates; ties → lowest code via
+    first-occurrence ``array_position``)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    codes = []
+    for j, book in enumerate(codebooks):
+        sl = F.slice(vec_col, j * sub + 1, sub)
+        dists = F.array(
+            *[
+                _dist2(sl, F.array(*[F.lit(float(x)) for x in cv]))
+                for _code, cv in book
+            ]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_encode_udf(codebooks):
+    """Arrow-batched numpy encoder for big ``m·n_codes`` (the scale
+    path): one (n, m) argmin per batch, no per-row Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = [
+        np.asarray([cv for _c, cv in book], dtype=np.float64)
+        for book in codebooks
+    ]
+    sub = books[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def _enc(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        cols = []
+        for j, bk in enumerate(books):
+            sl = mat[:, j * sub:(j + 1) * sub]
+            d = ((sl[:, None, :] - bk[None, :, :]) ** 2).sum(axis=2)
+            cols.append(d.argmin(axis=1))
+        codes = np.stack(cols, axis=1).astype("int32")
+        return pd.Series(list(codes))
+
+    return _enc
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id_col, pq_code array<int>)`` — auto-routes literal Column
+    vs numpy by ``m · n_codes`` (``_PQ_LITERAL_MAX``). At 100 TB the
+    encoded table is the ARTIFACT: m bytes-ish per vector instead of
+    4·dim, scanned for every query while the raw vectors stay cold."""
+    n = len(codebooks) * len(codebooks[0])
+    enc = (
+        pq_encode_col(F.col(vec_col), codebooks)
+        if n <= _PQ_LITERAL_MAX
+        else pq_encode_udf(codebooks)(F.col(vec_col))
+    )
+    return emb.select(F.col(id_col), enc.alias("pq_code"))
+
+
+def knn_pq(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    spacing: int = 31,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC top-k: encode the corpus (m small codes per vector),
+    score every vector by the asymmetric-distance LUT (query-to-code
+    sub-distances, computed ONCE driver-side — the scan never touches
+    raw vectors), take the ``k·refine`` best approximate candidates,
+    then exact-cosine re-rank only those. The approximate distance is
+    rounded to 6 dp before ranking so the candidate cut is
+    engine-reproducible bit-for-bit (ties → vec_id)."""
+    codebooks = pq_seed_codebooks(emb, m, n_codes, spacing, id_col, vec_col)
+    sub = len(codebooks[0][0][1])
+    lut = [
+        [
+            sum(
+                (float(query_vec[j * sub + t]) - float(cv[t])) ** 2
+                for t in range(sub)
+            )
+            for _code, cv in book
+        ]
+        for j, book in enumerate(codebooks)
+    ]
+    encoded = pq_encode(emb, codebooks, id_col, vec_col)
+    approx = F.round(
+        sum(
+            F.element_at(
+                F.array(*[F.lit(d) for d in lut[j]]),
+                F.element_at(F.col("pq_code"), j + 1) + 1,
+            )
+            for j in range(m)
+        ),
+        6,
+    )
+    cand = (
+        encoded.select(F.col(id_col), approx.alias("_ad"))
+        .orderBy("_ad", id_col)
+        .limit(k * refine)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.join(cand.select(id_col), id_col)
         .select(
             F.col(id_col),
             F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),

@@ -732,6 +732,72 @@ def test_ivf_assignment_paths_agree(spark):
     assert lit == udf == join
 
 
+def test_pq_encode_hand_math_and_paths_agree(spark):
+    """PQ encode on a hand-checkable fixture (dim 4, m=2, 2 codes):
+    codes = per-subspace argmin vs the strided seed slices, lowest
+    code wins ties; the literal Column path and the numpy UDF path
+    produce identical code arrays."""
+    from pyspark.sql import functions as F
+
+    # seeds (spacing=1): vec 0 = [0,0, 10,10], vec 1 = [4,4, 0,0]
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [4.0, 4.0, 0.0, 0.0]),
+        (2, [3.9, 3.9, 9.0, 9.0]),   # sub0 -> code 1, sub1 -> code 0
+        (3, [0.1, 0.1, 0.1, 0.0]),   # sub0 -> code 0, sub1 -> code 1
+        (4, [2.0, 2.0, 5.0, 5.0]),   # sub0: tie -> code 0; sub1 -> code 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = similarity.pq_seed_codebooks(emb, m=2, n_codes=2, spacing=1)
+    assert books[0] == [(0, [0.0, 0.0]), (1, [4.0, 4.0])]
+    got = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in similarity.pq_encode(emb, books).collect()
+    }
+    assert got == {0: [0, 0], 1: [1, 1], 2: [1, 0], 3: [0, 1], 4: [0, 0]}
+    via_udf = {
+        r["vec_id"]: list(r["c"])
+        for r in emb.select(
+            "vec_id",
+            similarity.pq_encode_udf(books)(F.col("embedding")).alias("c"),
+        ).collect()
+    }
+    assert via_udf == got
+
+
+def test_knn_pq_full_refine_equals_brute_force(spark):
+    """With k·refine covering the corpus the PQ candidate cut keeps
+    everything, so the exact re-rank must equal brute force; with a
+    tight refine the ADC scan still ranks the true neighbor first on
+    well-separated data."""
+    import math
+
+    rows = [
+        (
+            i,
+            [math.sin(0.7 * i + j * 0.3) for j in range(8)],
+        )
+        for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[5][1]
+    brute = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.knn_brute_force(emb, q, k=5).collect()
+    ]
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.knn_pq(
+            emb, q, k=5, m=2, n_codes=4, spacing=3, refine=5,
+        ).collect()
+    ]
+    assert full == brute
+    tight = similarity.knn_pq(
+        emb, q, k=3, m=2, n_codes=4, spacing=3, refine=2
+    ).collect()
+    assert tight[0]["vec_id"] == 5  # the query's own vector survives ADC
+
+
 def test_ivf_k256_beyond_literal_codegen(spark):
     """K=256 — far past the literal-expression codegen ceiling
     (_IVF_LITERAL_MAX_K=16): knn_ivf auto-routes assignment through the
