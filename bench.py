@@ -182,6 +182,11 @@ def run_worker(
                 emb, qvec, k=10, n_centroids=8, nprobe=2, spacing=37
             ).collect()
         ),
+        "ann_pq_knn": timed(
+            lambda: similarity.knn_pq(
+                emb, qvec, k=10, m=4, n_codes=16, spacing=31, refine=4
+            ).collect()
+        ),
         "dedup_components": timed(
             lambda: dedup.dedup_components(
                 dedup.minhash_lsh_pairs(docs), stats=comp_stats

@@ -506,11 +506,14 @@ def knn_ivf(
 # ---- product quantization (IVF-ADC family; Jégou et al. 2011,
 # "Product Quantization for Nearest Neighbor Search", IEEE TPAMI) ----
 
-# Above this m·n_codes the literal-expression encode path (m·n_codes
-# inlined sub-distance aggregates in one Column) exceeds codegen
-# limits — encoding becomes an Arrow-batched numpy matmul, exactly
-# like the IVF assignment auto-routing.
-_PQ_LITERAL_MAX = 256
+# Above this m·n_codes the encode routes to the Arrow-batched numpy
+# matmul. The bound is deliberately LOW (not a codegen ceiling): the
+# literal path is m·n_codes nested `aggregate` HOFs, and Catalyst
+# evaluates lambda HOFs INTERPRETED per row — measured 6s for a mere
+# 2000×64-dim rows at m·n_codes=64 vs milliseconds through Arrow.
+# The Column path stays only where its zero-Python property matters
+# and the expression count is trivial (tests, tiny fixtures).
+_PQ_LITERAL_MAX = 16
 
 
 def pq_seed_codebooks(
