@@ -22,7 +22,7 @@ __all__ = [
     "ivf_assign_udf", "ivf_assign_join", "ivf_train", "knn_ivf",
     "build_ann_index", "knn_lsh_serve", "build_ivf_index", "knn_ivf_serve",
     "pq_seed_codebooks", "pq_encode_col", "pq_encode_udf", "pq_encode",
-    "knn_pq",
+    "knn_pq", "build_pq_index", "knn_pq_serve",
 ]
 
 
@@ -661,6 +661,95 @@ def knn_pq(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         emb.join(cand.select(id_col), id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_pq_index(
+    emb: DataFrame,
+    path: str,
+    m: int = 4,
+    n_codes: int = 16,
+    spacing: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """PQ serve layout: the encoded table (id + m small codes + the
+    raw vector for re-rank) written once, codebooks as a JSON sidecar
+    (`_codebooks.json`) — serve-time scoring needs neither a training
+    scan nor the raw-vector column (Parquet column pruning keeps the
+    ADC scan to the codes; only the ≤ k·refine re-rank rows ever
+    decode vectors). The PQ twin of :func:`build_ivf_index`."""
+    import json
+
+    from pyarrow import fs as pa_fs
+
+    books = pq_seed_codebooks(emb, m, n_codes, spacing, id_col, vec_col)
+    enc = pq_encode(emb, books, id_col, vec_col)
+    emb.join(enc, id_col).write.mode("overwrite").parquet(path)
+    uri = path if "://" in path else "file://" + path
+    filesystem, base = pa_fs.FileSystem.from_uri(uri)
+    with filesystem.open_output_stream(f"{base}/_codebooks.json") as fh:
+        fh.write(json.dumps(books).encode())
+
+
+def knn_pq_serve(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a :func:`build_pq_index` layout: LUT from the
+    sidecar codebooks (no scan), ADC over the CODES COLUMN ONLY
+    (column-pruned scan — raw vectors stay cold), exact cosine
+    re-rank of the k·refine survivors."""
+    import json
+
+    from pyarrow import fs as pa_fs
+
+    uri = index_path if "://" in index_path else "file://" + index_path
+    filesystem, base = pa_fs.FileSystem.from_uri(uri)
+    with filesystem.open_input_stream(f"{base}/_codebooks.json") as fh:
+        books = json.loads(fh.read())
+    m = len(books)
+    sub = len(books[0][0][1])
+    lut = [
+        [
+            sum(
+                (float(query_vec[j * sub + t]) - float(cv[t])) ** 2
+                for t in range(sub)
+            )
+            for _code, cv in book
+        ]
+        for j, book in enumerate(books)
+    ]
+    idx = spark.read.parquet(index_path)
+    approx = F.round(
+        sum(
+            F.element_at(
+                F.array(*[F.lit(d) for d in lut[j]]),
+                F.element_at(F.col("pq_code"), j + 1) + 1,
+            )
+            for j in range(m)
+        ),
+        6,
+    )
+    cand = (
+        idx.select(F.col(id_col), approx.alias("_ad"))
+        .orderBy("_ad", id_col)
+        .limit(k * refine)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        idx.join(cand.select(id_col), id_col)
         .select(
             F.col(id_col),
             F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),

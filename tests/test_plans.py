@@ -248,6 +248,39 @@ def test_ann_serve_scans_only_probed_partitions(spark, tmp_path):
     ]
 
 
+def test_pq_serve_column_pruned_adc_and_full_refine_exact(spark, tmp_path):
+    """PQ serve: the ADC candidate scan reads ONLY the code column
+    (ReadSchema pruning — raw vectors stay cold until the re-rank
+    join), the sidecar codebooks avoid any training scan, and with
+    k·refine covering the corpus the serve result equals brute
+    force."""
+    import math
+
+    from memorious_spark.operators import similarity
+
+    rows = [
+        (i, [math.sin(0.7 * i + 0.3 * d) for d in range(8)])
+        for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "pq_index")
+    similarity.build_pq_index(emb, idx, m=2, n_codes=4, spacing=3)
+    q = rows[5][1]
+    served = similarity.knn_pq_serve(spark, idx, q, k=5, refine=5)
+    brute = similarity.knn_brute_force(emb, q, k=5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in served.collect()] == [
+        (r["vec_id"], r["cosine"]) for r in brute
+    ]
+    # column pruning: some scan reads pq_code WITHOUT embedding
+    plan = _plan(served)
+    schemas = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert any(
+        "pq_code" in ln and "embedding" not in ln for ln in schemas
+    ), plan[:3000]
+
+
 def test_ivf_serve_scans_only_probed_cells(spark, tmp_path):
     """IVF twin of the LSH serve test: corpus partitioned by coarse
     cell + centroid sidecar; the nprobe cells become a partition
