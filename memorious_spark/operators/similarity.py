@@ -23,6 +23,7 @@ __all__ = [
     "build_ann_index", "knn_lsh_serve", "build_ivf_index", "knn_ivf_serve",
     "pq_seed_codebooks", "pq_encode_col", "pq_encode_udf", "pq_encode",
     "knn_pq", "build_pq_index", "knn_pq_serve",
+    "append_ivf_index", "append_pq_index",
 ]
 
 
@@ -757,3 +758,52 @@ def knn_pq_serve(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def append_ivf_index(
+    emb_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """O(batch) growth of a :func:`build_ivf_index` layout: new
+    vectors are assigned with the SIDECAR centroids (no retrain, no
+    rescan of the existing index) and appended into their cell
+    partitions. A daily-growing 100 TB corpus pays for its delta, not
+    a rebuild; the centroids drift from optimal as the distribution
+    shifts — re-run ``build_ivf_index`` on whatever cadence recall
+    audits demand (the sidecar makes the staleness inspectable)."""
+    import json
+
+    from pyarrow import fs as pa_fs
+
+    uri = path if "://" in path else "file://" + path
+    filesystem, base = pa_fs.FileSystem.from_uri(uri)
+    with filesystem.open_input_stream(f"{base}/_centroids.json") as fh:
+        cents = [(int(c), v) for c, v in json.loads(fh.read())]
+    emb_new.withColumn(
+        "cell", _assign_bucket_col(vec_col, cents)
+    ).write.mode("append").partitionBy("cell").parquet(path)
+
+
+def append_pq_index(
+    emb_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """O(batch) growth of a :func:`build_pq_index` layout: new vectors
+    are encoded against the SIDECAR codebooks and appended. Same
+    staleness contract as :func:`append_ivf_index`."""
+    import json
+
+    from pyarrow import fs as pa_fs
+
+    uri = path if "://" in path else "file://" + path
+    filesystem, base = pa_fs.FileSystem.from_uri(uri)
+    with filesystem.open_input_stream(f"{base}/_codebooks.json") as fh:
+        books = [
+            [(int(c), v) for c, v in book] for book in json.loads(fh.read())
+        ]
+    enc = pq_encode(emb_new, books, id_col, vec_col)
+    emb_new.join(enc, id_col).write.mode("append").parquet(path)

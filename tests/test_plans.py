@@ -281,6 +281,49 @@ def test_pq_serve_column_pruned_adc_and_full_refine_exact(spark, tmp_path):
     ), plan[:3000]
 
 
+def test_index_appends_grow_without_rebuild(spark, tmp_path):
+    """append_ivf_index / append_pq_index: a new batch enters via the
+    SIDECAR parameters (no retrain, no rescan), and serve over the
+    grown index finds the appended vectors exactly where a fresh full
+    build would."""
+    import math
+
+    from memorious_spark.operators import similarity
+
+    def vecs(lo, hi):
+        return [
+            (i, [math.sin(0.7 * i + 0.3 * d) for d in range(8)])
+            for i in range(lo, hi)
+        ]
+
+    base = spark.createDataFrame(
+        vecs(0, 16), "vec_id long, embedding array<float>"
+    )
+    delta = spark.createDataFrame(
+        vecs(16, 24), "vec_id long, embedding array<float>"
+    )
+    both = base.unionByName(delta)
+    q = vecs(20, 21)[0][1]
+
+    ivf = str(tmp_path / "ivf")
+    similarity.build_ivf_index(base, ivf, n_centroids=4, spacing=3)
+    similarity.append_ivf_index(delta, ivf)
+    grown = similarity.knn_ivf_serve(spark, ivf, q, k=5, nprobe=4).collect()
+    brute = similarity.knn_brute_force(both, q, k=5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in grown] == [
+        (r["vec_id"], r["cosine"]) for r in brute
+    ]
+    assert grown[0]["vec_id"] == 20  # the appended vector is served
+
+    pq = str(tmp_path / "pq")
+    similarity.build_pq_index(base, pq, m=2, n_codes=4, spacing=3)
+    similarity.append_pq_index(delta, pq)
+    served = similarity.knn_pq_serve(spark, pq, q, k=5, refine=5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in served] == [
+        (r["vec_id"], r["cosine"]) for r in brute
+    ]
+
+
 def test_ivf_serve_scans_only_probed_cells(spark, tmp_path):
     """IVF twin of the LSH serve test: corpus partitioned by coarse
     cell + centroid sidecar; the nprobe cells become a partition
