@@ -23,7 +23,7 @@ __all__ = [
     "build_ann_index", "knn_lsh_serve", "build_ivf_index", "knn_ivf_serve",
     "pq_seed_codebooks", "pq_encode_col", "pq_encode_udf", "pq_encode",
     "knn_pq", "build_pq_index", "knn_pq_serve",
-    "append_ivf_index", "append_pq_index",
+    "append_ivf_index", "append_pq_index", "append_ann_index",
 ]
 
 
@@ -807,3 +807,21 @@ def append_pq_index(
         ]
     enc = pq_encode(emb_new, books, id_col, vec_col)
     emb_new.join(enc, id_col).write.mode("append").parquet(path)
+
+
+def append_ann_index(
+    emb_new: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+) -> None:
+    """O(batch) growth of a :func:`build_ann_index` layout. LSH needs
+    no sidecar — the hyperplanes are a pure function of
+    ``(plane, dim)`` — so appending is bucketing the delta with the
+    same deterministic planes and appending into its partitions. No
+    staleness either: unlike IVF/PQ codebooks, the planes never
+    drift."""
+    emb_new.withColumn(
+        "bucket", lsh_bucket_col(F.col(vec_col), dim, n_planes)
+    ).write.mode("append").partitionBy("bucket").parquet(path)

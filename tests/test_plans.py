@@ -323,6 +323,14 @@ def test_index_appends_grow_without_rebuild(spark, tmp_path):
         (r["vec_id"], r["cosine"]) for r in brute
     ]
 
+    lsh = str(tmp_path / "lsh")
+    similarity.build_ann_index(base, lsh, dim=8, n_planes=2)
+    similarity.append_ann_index(delta, lsh, dim=8, n_planes=2)
+    lsh_got = similarity.knn_lsh_serve(
+        spark, lsh, q, k=5, n_planes=2
+    ).collect()
+    assert 20 in [r["vec_id"] for r in lsh_got]
+
 
 def test_ivf_serve_scans_only_probed_cells(spark, tmp_path):
     """IVF twin of the LSH serve test: corpus partitioned by coarse
