@@ -1004,6 +1004,18 @@ pipeline:
             m=PQ_M, n_codes=PQ_NC, spacing=PQ_SPACING, refine=4,
         )
 
+    def ann_ivfpq_knn(spark, sf_dir):
+        """IVF + PQ composed (non-residual IVFPQ): coarse cells prune
+        the scan to nprobe posting lists, the ADC LUT scores only
+        those cells' codes, exact re-rank on the k·refine best. Per
+        query ~nprobe/K of the code table is touched — the production
+        serve cost model."""
+        return similarity.knn_ivfpq(
+            _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
+            n_centroids=IVF_K, nprobe=IVF_NPROBE, spacing=IVF_SPACING,
+            m=PQ_M, n_codes=PQ_NC, pq_spacing=PQ_SPACING, refine=4,
+        )
+
     def dedup_components_op(spark, sf_dir):
         """Connected components over the minhash candidate pairs —
         cluster id = min doc_id of the component (the canonical doc a
@@ -1704,6 +1716,7 @@ pipeline:
         "ann_lsh_knn": ann_lsh_knn,
         "ann_ivf_knn": ann_ivf_knn,
         "ann_pq_knn": ann_pq_knn,
+        "ann_ivfpq_knn": ann_ivfpq_knn,
         "dedup_components": dedup_components_op,
         "corpus_dedup": corpus_dedup_op,
         "corpus_curate": corpus_curate_op,
@@ -2159,6 +2172,84 @@ def oracle_sql() -> dict[str, str]:
                          c.code
                      ) AS rn
               FROM embeddings e CROSS JOIN sub s CROSS JOIN cb c
+            ),
+            lut AS (
+              SELECT s.j, c.code,
+                     (SELECT sum(
+                        (q.qv[i]::DOUBLE - c.cv[i]::DOUBLE)
+                      * (q.qv[i]::DOUBLE - c.cv[i]::DOUBLE))
+                      FROM unnest(generate_series(
+                        s.j*{EMB_DIM // PQ_M}+1,
+                        s.j*{EMB_DIM // PQ_M}+{EMB_DIM // PQ_M})) t(i)) AS d
+              FROM sub s CROSS JOIN cb c, q
+            ),
+            approx AS (
+              SELECT e.vec_id, round(sum(l.d), 6) AS ad
+              FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+              WHERE e.rn = 1 GROUP BY e.vec_id
+            ),
+            cand AS (
+              SELECT vec_id FROM approx ORDER BY ad, vec_id LIMIT 40
+            )
+            SELECT b.vec_id,
+                   round({_cosine_sql('b.embedding', 'q.qv')}, 6) AS cosine
+            FROM embeddings b JOIN cand USING (vec_id), q
+            ORDER BY cosine DESC, b.vec_id LIMIT 10
+        """,
+        # IVF+PQ composed: the IVF oracle's probe/assign CTEs restrict
+        # the PQ oracle's ADC to the probed cells' vectors
+        "ann_ivfpq_knn": f"""
+            WITH cent AS (
+              SELECT CAST(vec_id / {IVF_SPACING} AS INT) AS cid,
+                     embedding AS cv
+              FROM embeddings
+              WHERE vec_id % {IVF_SPACING} = 0
+                AND vec_id < {IVF_K * IVF_SPACING}
+            ),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            qd AS (
+              SELECT c.cid,
+                     {_F64_DIST2.format(a='q.qv', b='c.cv', dim=EMB_DIM)} AS d
+              FROM cent c, q
+            ),
+            probes AS (SELECT cid FROM qd ORDER BY d, cid LIMIT {IVF_NPROBE}),
+            assign AS (
+              SELECT e.vec_id, c.cid,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_F64_DIST2.format(a='e.embedding', b='c.cv', dim=EMB_DIM)}, c.cid
+                     ) AS rn
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            cells AS (
+              SELECT vec_id FROM assign
+              WHERE rn = 1 AND cid IN (SELECT cid FROM probes)
+            ),
+            cb AS (
+              SELECT CAST(vec_id / {PQ_SPACING} AS INT) AS code,
+                     embedding AS cv
+              FROM embeddings
+              WHERE vec_id % {PQ_SPACING} = 0
+                AND vec_id < {PQ_NC * PQ_SPACING}
+            ),
+            sub AS (
+              SELECT j FROM unnest(generate_series(0, {PQ_M - 1})) t(j)
+            ),
+            enc AS (
+              SELECT e.vec_id, s.j, c.code,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id, s.j
+                       ORDER BY
+                         (SELECT sum(
+                            (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE)
+                          * (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE))
+                          FROM unnest(generate_series(
+                            s.j*{EMB_DIM // PQ_M}+1,
+                            s.j*{EMB_DIM // PQ_M}+{EMB_DIM // PQ_M})) t(i)),
+                         c.code
+                     ) AS rn
+              FROM embeddings e CROSS JOIN sub s CROSS JOIN cb c
+              WHERE e.vec_id IN (SELECT vec_id FROM cells)
             ),
             lut AS (
               SELECT s.j, c.code,

@@ -187,6 +187,12 @@ def run_worker(
                 emb, qvec, k=10, m=4, n_codes=16, spacing=31, refine=4
             ).collect()
         ),
+        "ann_ivfpq_knn": timed(
+            lambda: similarity.knn_ivfpq(
+                emb, qvec, k=10, n_centroids=8, nprobe=2, spacing=37,
+                m=4, n_codes=16, pq_spacing=31, refine=4,
+            ).collect()
+        ),
         "dedup_components": timed(
             lambda: dedup.dedup_components(
                 dedup.minhash_lsh_pairs(docs), stats=comp_stats

@@ -798,6 +798,38 @@ def test_knn_pq_full_refine_equals_brute_force(spark):
     assert tight[0]["vec_id"] == 5  # the query's own vector survives ADC
 
 
+def test_knn_ivfpq_full_probe_full_refine_equals_brute(spark):
+    """IVF+PQ composed: probing ALL cells with a corpus-covering
+    refine keeps everything through both pruning layers, so the exact
+    re-rank equals brute force; a tight (nprobe, refine) still ranks
+    the query's own vector first."""
+    import math
+
+    rows = [
+        (i, [math.sin(0.7 * i + j * 0.3) for j in range(8)])
+        for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[5][1]
+    brute = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.knn_brute_force(emb, q, k=5).collect()
+    ]
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.knn_ivfpq(
+            emb, q, k=5, n_centroids=4, nprobe=4, spacing=5,
+            m=2, n_codes=4, pq_spacing=3, refine=5,
+        ).collect()
+    ]
+    assert full == brute
+    tight = similarity.knn_ivfpq(
+        emb, q, k=3, n_centroids=4, nprobe=1, spacing=5,
+        m=2, n_codes=4, pq_spacing=3, refine=2,
+    ).collect()
+    assert tight[0]["vec_id"] == 5
+
+
 def test_ivf_k256_beyond_literal_codegen(spark):
     """K=256 — far past the literal-expression codegen ceiling
     (_IVF_LITERAL_MAX_K=16): knn_ivf auto-routes assignment through the
