@@ -1056,6 +1056,24 @@ pipeline:
             "doc_id", textops.lang_guess(F.col("text")).alias("lang_guess")
         )
 
+    def text_normalize(spark, sf_dir):
+        """Unicode canonicalization (the pre-dedup normal form): each
+        doc's text gets a messy suffix — NFD 'e'+combining-acute, NBSP,
+        a control char, an em-space — and the Arrow-batched kernel must
+        produce exactly DuckDB's nfc_normalize + the same explicit
+        space/control character classes."""
+        from memorious_spark.functions.textops import normalize_text_udf
+
+        ship_package(spark)
+        docs = _docs(spark, sf_dir)
+        messy = F.concat(
+            F.col("text"),
+            F.lit(" cafe\u0301\u00a0x\u0007y\u2003z"),
+        )
+        return docs.select(
+            "doc_id", normalize_text_udf()(messy).alias("norm_text")
+        )
+
     def text_quality(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         return docs.select(
@@ -1721,6 +1739,7 @@ pipeline:
         "corpus_dedup": corpus_dedup_op,
         "corpus_curate": corpus_curate_op,
         "lang_id": lang_id,
+        "text_normalize": text_normalize,
         "text_quality": text_quality,
         "token_stats": token_stats,
         "strip_boilerplate": strip_boilerplate,
@@ -2413,6 +2432,23 @@ def oracle_sql() -> dict[str, str]:
             FROM q WHERE NOT keep
         """,
         "lang_id": _lang_sql(),
+        # NFC + explicit Zs/control classes — the same enumerated
+        # characters as functions/textops.py (NOT \\p{{Zs}}, so engine
+        # and oracle agree across Unicode table versions). Plain (non-f)
+        # string: the RE2 \\x{{...}} braces must survive verbatim.
+        "text_normalize": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       nfc_normalize(text || ' cafe' || chr(769)
+                         || chr(160) || 'x' || chr(7) || 'y'
+                         || chr(8195) || 'z'),
+                       '[\x{00a0}\x{1680}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]',
+                       ' ', 'g'),
+                     '[\x{0000}-\x{0008}\x{000b}-\x{001f}\x{007f}-\x{009f}]',
+                     '', 'g') AS norm_text
+            FROM documents
+        """,
         "text_quality": f"""
             WITH base AS (
               SELECT doc_id, text,

@@ -27,6 +27,9 @@ __all__ = [
     "fingerprint",
     "shingles",
     "minhash_signature",
+    "py_normalize_text",
+    "normalize_text_udf",
+    "UNICODE_SPACES",
 ]
 
 # language → marker words (spaces matter: match whole tokens mid-text).
@@ -223,3 +226,60 @@ def minhash_signature(shingle_col: Column, n_perm: int = 16) -> Column:
             )
         ),
     )
+
+
+# ---- unicode normalization (the pre-dedup canonical form) ----------
+
+# Unicode Zs space separators enumerated EXPLICITLY (not \p{Zs} /
+# unicodedata category lookups) so engine and oracle agree regardless
+# of their Unicode table versions.
+UNICODE_SPACES = (
+    "\u00a0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007"
+    "\u2008\u2009\u200a\u202f\u205f\u3000"
+)
+# C0/C1 control chars minus \t and \n (\r sits inside and is dropped —
+# CRLF therefore collapses to LF)
+_CONTROL_RANGES = (
+    (0x00, 0x08), (0x0B, 0x1F), (0x7F, 0x9F),
+)
+_CONTROL_SET = frozenset(
+    chr(c) for lo, hi in _CONTROL_RANGES for c in range(lo, hi + 1)
+)
+
+
+def py_normalize_text(t: str | None) -> str | None:
+    """Shared-kernel text normalization, the pre-dedup canonical form
+    every published webtext pipeline applies before hashing (CCNet /
+    RefinedWeb normalize unicode so 'café' NFC and 'cafe\\u0301' NFD
+    dedup together): NFC, unicode space separators → ASCII space,
+    control chars (minus tab/newline) dropped."""
+    import unicodedata
+
+    if t is None:
+        return None
+    t = unicodedata.normalize("NFC", t)
+    out = []
+    for ch in t:
+        if ch in UNICODE_SPACES:
+            out.append(" ")
+        elif ch in _CONTROL_SET:
+            continue
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def normalize_text_udf():
+    """Arrow-batched pandas UDF over :func:`py_normalize_text` — NFC
+    has no Column builtin, so this is the one curation function that
+    must cross the Arrow boundary (string-in/string-out, vectorized
+    batches; the oracle twin is DuckDB's ``nfc_normalize`` + the same
+    explicit character classes)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(texts):
+        return pd.Series([py_normalize_text(t) for t in texts])
+
+    return _norm

@@ -798,6 +798,18 @@ def test_knn_pq_full_refine_equals_brute_force(spark):
     assert tight[0]["vec_id"] == 5  # the query's own vector survives ADC
 
 
+def test_py_normalize_text_kernel():
+    """NFC + enumerated Zs spaces + control strip — the pre-dedup
+    canonical form; tab/newline survive, CR drops (CRLF -> LF)."""
+    from memorious_spark.functions.textops import py_normalize_text as n
+
+    assert n("café") == "café"
+    assert n("a b c") == "a b c"
+    assert n("xy\r\nz\tw") == "xy\nz\tw"
+    assert n(None) is None
+    assert n(" 　") == "  "
+
+
 def test_knn_ivfpq_full_probe_full_refine_equals_brute(spark):
     """IVF+PQ composed: probing ALL cells with a corpus-covering
     refine keeps everything through both pruning layers, so the exact
