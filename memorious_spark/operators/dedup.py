@@ -287,10 +287,18 @@ def corpus_dedup(
     k_shingle: int = 3,
     max_iter: int = 50,
     stats: dict | None = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """One-call corpus deduplication — the composition a training-data
     pipeline actually runs: **exact → MinHash-LSH pairs over the exact
     survivors → connected components → canonical keep-list**.
+
+    ``normalize=True`` canonicalizes the text FIRST
+    (``functions.textops.normalize_text_udf``: NFC + space/control
+    classes) so unicode twins — NFD vs NFC accents, NBSP vs space —
+    fingerprint and shingle together (the CCNet ordering: normalize,
+    then dedup). Off by default: the driver oracle pins the
+    non-normalized path, and normalization crosses Arrow once.
 
     Returns the full drop manifest, one row per input doc:
     ``(doc_id, canonical_id, reason)`` with ``reason ∈ {'kept',
@@ -308,8 +316,13 @@ def corpus_dedup(
     """
     from pyspark.sql import Window
 
+    text_in = F.col(text_col)
+    if normalize:
+        from memorious_spark.functions.textops import normalize_text_udf
+
+        text_in = normalize_text_udf()(text_in)
     base = docs.select(
-        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("_t")
+        F.col(id_col).cast("long").alias("id"), text_in.alias("_t")
     )
     # exact stage: canonical = min id per normalized-text fingerprint
     ecanon = base.withColumn(

@@ -798,6 +798,30 @@ def test_knn_pq_full_refine_equals_brute_force(spark):
     assert tight[0]["vec_id"] == 5  # the query's own vector survives ADC
 
 
+def test_corpus_dedup_normalize_collapses_unicode_twins(spark):
+    """corpus_dedup(normalize=True): NFD vs NFC accents and NBSP vs
+    space fingerprint together (the CCNet ordering); without the flag
+    the twins survive as distinct docs."""
+    rows = [
+        (0, "café au lait"),
+        (1, "cafe\u0301\u00a0au lait"),   # NFD + NBSP twin of 0
+        (2, "something else"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {
+        r["doc_id"]: r["reason"]
+        for r in dedup.corpus_dedup(docs).collect()
+    }
+    assert plain == {0: "kept", 1: "kept", 2: "kept"}
+    norm = {
+        r["doc_id"]: (r["canonical_id"], r["reason"])
+        for r in dedup.corpus_dedup(docs, normalize=True).collect()
+    }
+    assert norm[0] == (0, "kept")
+    assert norm[1] == (0, "exact")
+    assert norm[2] == (2, "kept")
+
+
 def test_py_normalize_text_kernel():
     """NFC + enumerated Zs spaces + control strip — the pre-dedup
     canonical form; tab/newline survive, CR drops (CRLF -> LF)."""
