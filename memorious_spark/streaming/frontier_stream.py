@@ -67,6 +67,7 @@ def run_streaming_crawl(
     max_retries: int = 3,
     trap_filter: bool = False,
     canonicalize: str = "conservative",
+    robots: DataFrame | None = None,
 ):
     """Continuous crawl ingest: every micro-batch of seed URLs is
     canonicalized, deduped against the persistent seen table, probed
@@ -82,6 +83,15 @@ def run_streaming_crawl(
     keys that state by registrable domain instead (face parity with
     ``CrawlConfig.politeness_group``) — subdomain farms share one
     budget.
+
+    ``robots`` (host, disallow_prefixes, crawl_delay_budget — the
+    batch face's ``functions.robots.robots_table`` shape) gates
+    disallowed paths with a STREAM-STATIC join BEFORE politeness (a
+    blocked url never consumes budget, never marks seen) and carries
+    each host's crawl-delay budget into the keyed state as an
+    override. Host-scoped like robots itself: with
+    ``politeness_group="domain"`` the override applies only where the
+    domain equals the host, matching the batch face's caveat.
 
     ``trap_filter`` applies the batch face's crawler-trap gate
     (functions/urls.is_trap_col — Heritrix decide rules) to every
@@ -132,6 +142,31 @@ def run_streaming_crawl(
         dedup_hash = hash_col(canon_col(F.col("url")))
     else:
         dedup_hash = hash_col(F.col("url_norm"))
+    budget_overrides = None
+    if robots is not None:
+        # stream-static disallow gate BEFORE politeness: a blocked url
+        # never consumes budget and never marks seen (batch-face order,
+        # operators/frontier.politeness_dequeue)
+        from memorious_spark.functions.hof import bind_once
+
+        cols = stream.columns
+        joined = stream.withColumn(
+            "host", host_col(F.col("url"))
+        ).join(F.broadcast(robots), "host", "left")
+        disallowed = bind_once(
+            F.expr("parse_url(url, 'PATH')"),
+            lambda path: F.exists(
+                F.col("disallow_prefixes"), lambda p: path.startswith(p)
+            ),
+        )
+        stream = joined.filter(
+            F.col("disallow_prefixes").isNull() | ~disallowed
+        ).select(*cols)
+        budget_overrides = {
+            r["host"]: int(r["crawl_delay_budget"])
+            for r in robots.select("host", "crawl_delay_budget").collect()
+            if r["crawl_delay_budget"] is not None
+        } or None
     if politeness_budget is not None:
         grp = host_col(F.col("url"))
         if politeness_group == "domain":
@@ -145,6 +180,7 @@ def run_streaming_crawl(
             cands.select("host", "url", "emit_seq", "attempt"),
             politeness_budget,
             timeout_ms=politeness_timeout_ms,
+            budget_overrides=budget_overrides,
         ).select("url", "emit_seq", "attempt")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

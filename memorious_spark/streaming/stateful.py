@@ -51,10 +51,16 @@ def politeness_release(
     budget: int,
     timeout_ms: int | None = None,
     max_pending: int = _MAX_PENDING,
+    budget_overrides: dict[str, int] | None = None,
 ) -> DataFrame:
     """``candidates`` (streaming: host, url, emit_seq, attempt) → at most
     ``budget`` rows per host per trigger, FIFO by emit_seq, the rest
     parked in keyed state and released on later triggers.
+
+    ``budget_overrides`` (host → budget) carries robots crawl-delay
+    budgets onto the stream face — tiny by construction (one entry per
+    robots-bearing host), shipped in the closure like the batch face's
+    broadcast join.
 
     ``timeout_ms`` arms a processing-time timeout that drains parked
     urls for hosts that stop receiving new candidates — the right
@@ -90,7 +96,8 @@ def politeness_release(
             pending.extend(fresh)  # state is already FIFO; append batch
         pending = pending[:max_pending]
 
-        out, rest = pending[:budget], pending[budget:]
+        eff_budget = (budget_overrides or {}).get(host, budget)
+        out, rest = pending[:eff_budget], pending[eff_budget:]
         served += len(out)
         state.update((
             [u for u, _, _ in rest], [int(s) for _, s, _ in rest],

@@ -138,6 +138,61 @@ def test_streaming_domain_grouped_politeness(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_streaming_robots_gate_and_crawl_delay_override(spark, tmp_path):
+    """Face parity for robots on the stream: a disallowed path is
+    dropped BEFORE politeness (never fetched, never consumes budget)
+    and a host's crawl-delay budget overrides the global one in the
+    keyed state — h1 drains 1/trigger while h2 gets the global 2."""
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"), F.lit("txt").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    corpus = build_corpus(spark, docs, 60).persist()
+    corpus.count()
+    robots = spark.createDataFrame(
+        [("h1.example.com", ["/doc/15"], 1)],
+        "host string, disallow_prefixes array<string>, "
+        "crawl_delay_budget int",
+    )
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # doc ids 1, 8, 15 live on h1 (id % 7 == 1); 15 is disallowed
+    spark.createDataFrame(
+        [(doc_url(1), 0), (doc_url(8), 1), (doc_url(15), 2), (doc_url(2), 3)],
+        "url string, emit_seq long",
+    ).coalesce(1).write.parquet(str(seeds_dir / "b1"))
+    stream = stream_seed_source(spark, str(seeds_dir) + "/*")
+    q = run_streaming_crawl(
+        spark, stream, corpus, out_dir, ckpt,
+        politeness_budget=2, robots=robots,
+    )
+    q.awaitTermination(120)
+    urls1 = {
+        r["final_url"]
+        for r in spark.read.parquet(f"{out_dir}/batch=*").collect()
+    }
+    # h1: crawl-delay budget 1 -> only doc 1; 15 gated out; h2 fine
+    assert urls1 == {doc_url(1), doc_url(2)}
+    # next trigger: parked doc 8 drains FIFO under the override
+    spark.createDataFrame(
+        [(doc_url(22), 10)], "url string, emit_seq long"
+    ).coalesce(1).write.parquet(str(seeds_dir / "b2"))
+    q2 = run_streaming_crawl(
+        spark, stream, corpus, out_dir, ckpt,
+        politeness_budget=2, robots=robots,
+    )
+    q2.awaitTermination(120)
+    urls2 = {
+        r["final_url"]
+        for r in spark.read.parquet(f"{out_dir}/batch=*").collect()
+    }
+    assert urls2 == urls1 | {doc_url(8)}
+    assert doc_url(15) not in urls2
+    corpus.unpersist()
+
+
 def test_streaming_aggressive_canonicalize_collapses_variants(
     spark, tmp_path
 ):
