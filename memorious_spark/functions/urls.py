@@ -37,6 +37,7 @@ __all__ = [
     "registrable_domain_col",
     "py_registrable_domain",
     "canon_col",
+    "py_canon",
     "TWO_LEVEL_SUFFIXES",
     "TRACKING_PARAMS",
 ]
@@ -252,6 +253,26 @@ def py_registrable_domain(host: str) -> str:
     if ".".join(parts[-2:]) in TWO_LEVEL_SUFFIXES:
         return ".".join(parts[-3:])
     return ".".join(parts[-2:])
+
+
+def py_canon(url: str) -> str | None:
+    """Pure-Python mirror of :func:`canon_col` (oracle/test face)."""
+    base = py_norm(url)
+    if base is None:
+        return None
+    try:
+        query = urlsplit(url).query
+    except ValueError:
+        return None
+    path_part = base.split("?", 1)[0]
+    kept = sorted(
+        p
+        for p in query.split("&")
+        if p != ""
+        and not p.startswith("utm_")
+        and p.split("=", 1)[0] not in TRACKING_PARAMS
+    )
+    return path_part + ("?" + "&".join(kept) if kept else "")
 
 
 def canon_col(url: Column) -> Column:

@@ -94,6 +94,47 @@ def test_canon_col_sorts_and_strips_tracking(spark):
     assert len(keys) == 1
 
 
+def test_canon_col_matches_python_mirror_property(spark):
+    """Property: for generated URLs over hosts/paths/param soups
+    (tracking params, utm prefixes, duplicates, empty values, missing
+    '='), canon_col == py_canon — the same two-face contract py_norm
+    already carries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    param = st.one_of(
+        st.sampled_from(
+            ["a=1", "b=2", "z=9", "utm_source=x", "utm_campaign",
+             "fbclid=77", "gclid", "q=utm_x", "a=2", "noval", "mc_cid=8"]
+        ),
+        st.text(alphabet="abz=_19", min_size=1, max_size=6),
+    )
+    url_strat = st.builds(
+        lambda scheme, host, path, params: (
+            f"{scheme}://{host}/{path}" + ("?" + "&".join(params) if params else "")
+        ),
+        st.sampled_from(["http", "https", "HTTPS"]),
+        st.sampled_from(["E.com", "a.b.co.uk", "x.test:8080"]),
+        st.sampled_from(["", "p", "p/q"]),
+        st.lists(param, max_size=5),
+    )
+
+    cases: list[str] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(url_strat)
+    def collect(u):
+        cases.append(u)
+
+    collect()
+    df = spark.createDataFrame([(u,) for u in set(cases)], "url string")
+    got = df.select(
+        "url", urls.canon_col(F.col("url")).alias("c")
+    ).collect()
+    for r in got:
+        assert r["c"] == urls.py_canon(r["url"]), r["url"]
+
+
 def test_hash_col_deterministic(spark):
     df = spark.createDataFrame([("https://example.com/a",)], "url string")
     h1 = df.select(urls.hash_col(F.col("url")).alias("h")).first()["h"]
