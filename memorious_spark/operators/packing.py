@@ -55,7 +55,16 @@ def pack_token_shards(
     parts = docs.select(id_col, tokens_col).repartitionByRange(
         p, F.col(id_col)
     )
-    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    # spark_partition_id() is NONDETERMINISTIC across re-executions:
+    # repartitionByRange samples its boundaries per job, so the frame
+    # must be materialized ONCE and read by both consumers (the totals
+    # collect below and the final window+join). localCheckpoint cuts
+    # the lineage so a recompute is impossible — the slim 2-column
+    # projection is what lands on executor memory/disk, not the corpus.
+    with_pid = (
+        parts.withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     # Phase 2: P-row rollup; the collect ships P (pid, total, min_key)
     # longs to the driver — independent of data volume.
     totals = (

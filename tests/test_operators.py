@@ -1278,6 +1278,42 @@ def test_pack_token_shards_matches_global_prefix_sum(spark):
         pack_token_shards(docs, budget=0)
 
 
+def test_pack_token_shards_repeat_run_bit_equality(spark):
+    """Round-5 directive: the op is a pure function of the corpus, not
+    of Spark's partitioning. Run it 5× at p=8 over a shuffled,
+    non-trivially-partitioned input; every run must produce the
+    identical (offset, shard) assignment. Before the localCheckpoint
+    fix, spark_partition_id() could differ between the totals-collect
+    job and the window job, shifting offsets at a partition boundary
+    (CORRECTNESS_r04 token_shards hash mismatch)."""
+    from memorious_spark.operators.packing import pack_token_shards
+
+    base = (
+        spark.range(1500)
+        .select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") * 131) % 257 + 1).alias("tokens"),
+        )
+        # adversarial input partitioning: hash-scrambled, not ordered
+        .repartition(11, F.col("doc_id"))
+    )
+    runs = []
+    for _ in range(5):
+        rows = sorted(
+            (r["doc_id"], r["offset"], r["shard"])
+            for r in pack_token_shards(
+                base, budget=2000, num_partitions=8
+            ).collect()
+        )
+        runs.append(rows)
+    assert all(r == runs[0] for r in runs[1:])
+    # and the assignment is the true global prefix sum
+    off = 0
+    for i, (doc_id, offset, shard) in enumerate(runs[0]):
+        assert doc_id == i and offset == off and shard == off // 2000
+        off += (i * 131) % 257 + 1
+
+
 def test_quota_sample_exact_and_fallback(spark):
     """Prune-then-exact quota sampling selects EXACTLY the global
     row_number()-by-(md5,id) top-N per group on both the pruned path

