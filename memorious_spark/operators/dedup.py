@@ -308,14 +308,17 @@ def corpus_dedup(
     representative: an exact-dropped doc whose exact canonical was
     itself near-dropped resolves through to the component minimum.
 
-    Scale shape: one fingerprint window (shuffle on the fingerprint),
-    minhash banding over only the exact survivors (the expensive stage
-    sees the shrunk corpus), O(log n) star rounds for components, then
-    two slim id-keyed joins to stitch the manifest — no step is
-    quadratic in the corpus.
+    Scale shape: the exact stage is a map-side-combined
+    groupBy(fingerprint).min(id) joined back on the fingerprint — the
+    same shape as :func:`exact_dedup`, NEVER a window over the
+    fingerprint: a hot fingerprint (empty/boilerplate text — billions
+    of rows at 100 TB) would pin an unpartitionable window on one
+    task, while the aggregate combines map-side and the join-back is
+    AQE-skew-splittable. Then minhash banding over only the exact
+    survivors (the expensive stage sees the shrunk corpus), O(log n)
+    star rounds for components, and two slim id-keyed joins to stitch
+    the manifest — no step is quadratic in the corpus.
     """
-    from pyspark.sql import Window
-
     text_in = F.col(text_col)
     if normalize:
         from memorious_spark.functions.textops import normalize_text_udf
@@ -324,11 +327,11 @@ def corpus_dedup(
     base = docs.select(
         F.col(id_col).cast("long").alias("id"), text_in.alias("_t")
     )
-    # exact stage: canonical = min id per normalized-text fingerprint
-    ecanon = base.withColumn(
-        "ecanon",
-        F.min("id").over(Window.partitionBy(fingerprint(F.col("_t")))),
-    ).persist()
+    # exact stage: canonical = min id per normalized-text fingerprint,
+    # computed as aggregate + join-back (skew-safe), not a window.
+    fp = base.withColumn("_fp", fingerprint(F.col("_t")))
+    canon_by_fp = fp.groupBy("_fp").agg(F.min("id").alias("ecanon"))
+    ecanon = fp.join(canon_by_fp, "_fp").drop("_fp").persist()
     survivors = ecanon.filter(F.col("id") == F.col("ecanon"))
     pairs = minhash_lsh_pairs(
         survivors, id_col="id", text_col="_t",

@@ -450,6 +450,33 @@ def test_token_shards_no_single_partition_window(spark):
     assert out.select("doc_id").rdd.getNumPartitions() >= 1
 
 
+def test_corpus_dedup_exact_stage_no_fingerprint_window(spark):
+    """Round-5 directive: corpus_dedup's exact stage must be the
+    map-side-combined groupBy(fingerprint).min(id) + join-back shape
+    (AQE-skew-splittable), never a Window over the fingerprint — a
+    hot fingerprint (boilerplate text, billions of rows at 100 TB)
+    pins an unpartitionable window on ONE task. Lock: zero Window
+    nodes in the whole plan, and a partial aggregate is present.
+    Skew fixture: one fingerprint shared by 50% of rows resolves
+    correctly (all hot rows -> exact with the min id as canonical)."""
+    from memorious_spark.operators.dedup import corpus_dedup
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("hot boilerplate text"))
+        .otherwise(F.concat(F.lit("uniq "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    out = corpus_dedup(docs)
+    plan = _plan(out)
+    assert "windowspecdefinition" not in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    assert "partial_min" in plan or "HashAggregate" in plan, plan[:3000]
+    got = {r["doc_id"]: (r["canonical_id"], r["reason"]) for r in out.collect()}
+    assert got[0] == (0, "kept")
+    assert all(got[i] == (0, "exact") for i in range(2, 400, 2))
+
+
 def test_strip_boilerplate_broadcast_path_docs_never_shuffle(spark):
     """Broadcast path: the hot-line set folds to one array row and the
     rewrite rides the corpus scan — no doc-keyed exchange anywhere.
