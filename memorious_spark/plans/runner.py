@@ -318,7 +318,14 @@ class CrawlRunner:
                     )
                     n0 = len(cfg.seeds)
                 else:
-                    n0 = initial_frontier.count()
+                    # emit_seq is an ORDER KEY, not a dense id
+                    # (sequence-tag skips leave gaps): offset by the
+                    # actual max so sitemap rows can never collide
+                    # with or sort before existing seed rows
+                    n0 = (
+                        initial_frontier.agg(F.max("emit_seq")).first()[0]
+                        or 0
+                    ) + 1
                 sm = robots_sitemap_table(corpus).join(
                     initial_frontier.select("url"), "url", "left_anti"
                 )
@@ -751,7 +758,14 @@ class CrawlRunner:
                 warc_df = write_warc(
                     sink_rows.select(
                         F.col("url").alias("uri"),
-                        F.encode(F.col("text"), "utf-8").alias("payload"),
+                        # NULL text (non-HTML page, decode failure)
+                        # must archive as an empty payload — a NULL
+                        # would raise bytes(None) in write_warc's
+                        # executor loop and fail the whole round for
+                        # one bad row
+                        F.encode(
+                            F.coalesce(F.col("text"), F.lit("")), "utf-8"
+                        ).alias("payload"),
                         F.date_format(
                             "retrieved_at", "yyyy-MM-dd'T'HH:mm:ss'Z'"
                         ).alias("warc_date"),

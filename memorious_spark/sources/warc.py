@@ -154,8 +154,12 @@ def surt_key(url: str) -> str:
     components reversed and comma-joined, ``)`` before the path.
     ``http://www.Docs.Example.org/d/5?x=1`` → ``org,example,docs)/d/5?x=1``.
     Non-hierarchical URIs (``urn:...``) key as themselves lowercased —
-    still unique, still sortable."""
-    u = url.strip().lower()
+    still unique, still sortable. Literal spaces are percent-encoded
+    (pywb convention): the CDXJ line is space-delimited
+    (``urlkey timestamp {json}``), so an unescaped space in the key
+    would shift the timestamp/JSON fields on read — a silently
+    corrupted index entry."""
+    u = url.strip().lower().replace(" ", "%20")
     for scheme in ("https://", "http://"):
         if u.startswith(scheme):
             u = u[len(scheme):]
@@ -352,6 +356,14 @@ def write_warc(
                     b["uri"], b["payload"], b["date"], b["ctype"],
                     b["status"], b["hdrs"],
                 ):
+                    if payload is None:
+                        # fail loud per-row: a NULL payload would
+                        # raise an anonymous TypeError from bytes()
+                        # mid-task; callers must coalesce or filter
+                        raise ValueError(
+                            f"write_warc: NULL payload for uri {uri!r}"
+                            " — coalesce to b'' or filter null rows"
+                        )
                     body = bytes(payload)
                     if http_mode:
                         rec_payload = _http_envelope(

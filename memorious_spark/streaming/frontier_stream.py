@@ -167,7 +167,17 @@ def run_streaming_crawl(
             for r in robots.select("host", "crawl_delay_budget").collect()
             if r["crawl_delay_budget"] is not None
         } or None
-    if politeness_budget is not None:
+    # Face parity (batch: no_politeness requires robots is None): when
+    # robots declares any crawl-delay budget, it must gate the stream
+    # even with no global politeness budget — otherwise the overrides
+    # are computed above and silently never applied, and crawl-delay
+    # hosts get unbounded fetch rate. An effectively-unlimited global
+    # budget keeps non-delayed hosts unthrottled while the per-host
+    # overrides still bind.
+    effective_budget = politeness_budget
+    if effective_budget is None and budget_overrides:
+        effective_budget = 2**31 - 1
+    if effective_budget is not None:
         grp = host_col(F.col("url"))
         if politeness_group == "domain":
             from memorious_spark.functions.urls import (
@@ -178,7 +188,7 @@ def run_streaming_crawl(
         cands = stream.withColumn("host", grp)
         stream = politeness_release(
             cands.select("host", "url", "emit_seq", "attempt"),
-            politeness_budget,
+            effective_budget,
             timeout_ms=politeness_timeout_ms,
             budget_overrides=budget_overrides,
         ).select("url", "emit_seq", "attempt")

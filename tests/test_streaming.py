@@ -193,6 +193,64 @@ def test_streaming_robots_gate_and_crawl_delay_override(spark, tmp_path):
     corpus.unpersist()
 
 
+def test_streaming_crawl_delay_applies_without_global_budget(
+    spark, tmp_path
+):
+    """ADVICE r4: robots crawl-delay budgets must gate the stream even
+    when no global politeness_budget is set (batch-face parity:
+    no_politeness requires robots is None). Before the fix the
+    overrides were computed and silently never applied — h1 drained
+    all three urls in one trigger."""
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"), F.lit("txt").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    corpus = build_corpus(spark, docs, 60).persist()
+    corpus.count()
+    robots = spark.createDataFrame(
+        [("h1.example.com", [], 1)],
+        "host string, disallow_prefixes array<string>, "
+        "crawl_delay_budget int",
+    )
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # doc ids 1, 8, 15 all live on h1 (id % 7 == 1); 2 on h2
+    spark.createDataFrame(
+        [(doc_url(1), 0), (doc_url(8), 1), (doc_url(15), 2), (doc_url(2), 3)],
+        "url string, emit_seq long",
+    ).coalesce(1).write.parquet(str(seeds_dir / "b1"))
+    stream = stream_seed_source(spark, str(seeds_dir) + "/*")
+    q = run_streaming_crawl(
+        spark, stream, corpus, out_dir, ckpt,
+        politeness_budget=None, robots=robots,
+    )
+    q.awaitTermination(120)
+    urls1 = {
+        r["final_url"]
+        for r in spark.read.parquet(f"{out_dir}/batch=*").collect()
+    }
+    # h1 capped at its crawl-delay budget of 1; h2 unthrottled
+    assert urls1 == {doc_url(1), doc_url(2)}
+    # parked h1 rows drain FIFO (budget 1/trigger) when the h1 key
+    # next fires: doc 8 (emit_seq 1) before 15 before the new 22
+    spark.createDataFrame(
+        [(doc_url(22), 10)], "url string, emit_seq long"
+    ).coalesce(1).write.parquet(str(seeds_dir / "b2"))
+    q2 = run_streaming_crawl(
+        spark, stream, corpus, out_dir, ckpt,
+        politeness_budget=None, robots=robots,
+    )
+    q2.awaitTermination(120)
+    urls2 = {
+        r["final_url"]
+        for r in spark.read.parquet(f"{out_dir}/batch=*").collect()
+    }
+    assert urls2 == urls1 | {doc_url(8)}
+    corpus.unpersist()
+
+
 def test_streaming_aggressive_canonicalize_collapses_variants(
     spark, tmp_path
 ):

@@ -31,6 +31,45 @@ def test_surt_key():
     assert surt_key("https://a.b.c/") == "c,b,a)/"
     assert surt_key("http://host.tld") == "tld,host)/"
     assert surt_key("urn:doc:7") == "urn:doc:7"
+    # ADVICE r4: literal spaces percent-encode (pywb convention) —
+    # the CDXJ line is space-delimited, so an unescaped space would
+    # shift the timestamp/JSON fields on read
+    assert surt_key("http://h.tld/a b?q=x y") == "tld,h)/a%20b?q=x%20y"
+    assert surt_key("urn:has space") == "urn:has%20space"
+
+
+def test_warc_space_uri_cdx_roundtrip_and_null_payload_rejects(
+    spark, tmp_path
+):
+    """ADVICE r4 pair: (a) a space-bearing URI must not shift the
+    space-delimited CDXJ fields — the parsed timestamp stays 14
+    digits and offset/length stay non-null; (b) a NULL payload fails
+    loud with the uri in the message, never an anonymous TypeError."""
+    docs = spark.createDataFrame(
+        [("http://h.tld/a b", b"body one"), ("http://h.tld/c", b"body two")],
+        "uri string, payload binary",
+    )
+    dest = str(tmp_path / "w")
+    write_warc(docs, dest, compress=True, index=True).collect()
+    cdx = {r["urlkey"]: r for r in read_cdx(spark, f"{dest}/*.cdx").collect()}
+    assert "tld,h)/a%20b" in cdx
+    for r in cdx.values():
+        assert len(r["timestamp"]) == 14 and r["timestamp"].isdigit()
+        assert r["offset"] is not None and r["length"] is not None
+    # ranged fetch still lands on the right member
+    got = {
+        r["uri"]: bytes(r["payload"])
+        for r in read_warc_records(
+            read_cdx(spark, f"{dest}/*.cdx")
+        ).collect()
+    }
+    assert got["http://h.tld/a b"] == b"body one"
+
+    nulls = spark.createDataFrame(
+        [("http://h.tld/null", None)], "uri string, payload binary"
+    )
+    with pytest.raises(Exception, match="NULL payload for uri"):
+        write_warc(nulls, str(tmp_path / "w2")).collect()
 
 
 def test_warc_gz_is_member_per_record(spark, tmp_path):

@@ -515,6 +515,44 @@ pipeline:
     off = run(False, "off")
     assert off == {"https://r.example.com/"}
 
+    # ADVICE r4: emit_seq is an ORDER KEY with gaps (sequence-tag
+    # skips), so the sitemap offset must ride max(emit_seq)+1, not
+    # count() — a gapped frontier (2 rows, max 100) used to let
+    # sitemap rows collide with / sort before the seeds.
+    cfg = load_yaml(
+        """
+name: robosmap
+max_rounds: 2
+robots_sitemaps: true
+pipeline:
+  init:
+    method: seed
+    params: {urls: ["https://r.example.com/"]}
+    handle: {pass: fetch}
+  fetch:
+    method: fetch
+    handle: {pass: parse}
+  parse:
+    method: parse
+    handle: {store: store, fetch: fetch}
+  store:
+    method: db
+"""
+    )
+    gapped = spark.createDataFrame(
+        [("https://r.example.com/", 0), ("https://r.example.com/p/1", 100)],
+        "url string, emit_seq long",
+    )
+    store = RunStore(tmp_path / "runs_rs_gap", "robosmap", "r1")
+    CrawlRunner(spark, cfg, store).run(corpus, initial_frontier=gapped)
+    f0 = {
+        r["url"]: r["emit_seq"]
+        for r in store.read_round(spark, "frontier", 0).collect()
+    }
+    assert f0["https://r.example.com/"] == 0
+    assert f0["https://r.example.com/p/1"] == 100
+    assert f0["https://r.example.com/pages.xml"] > 100
+
 
 def test_sitemap_feeds_frontier(spark, tmp_path):
     """`parse.params.sitemaps: true`: a seeded sitemap.xml (urlset →
