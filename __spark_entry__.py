@@ -540,6 +540,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         live = seen_all.filter(F.col("doc_id") % 6 != 0).select("url_hash")
         return dedup_new(cands, live, cuckoo=filt).select("doc_id", "url")
 
+    def dedup_sharded(spark, sf_dir):
+        """The executor-resident seen-filter (operators/
+        sharded_filter.py): the filter is a (shard, bitmap) DataFrame
+        maintained by cogrouped Arrow jobs — zero filter bytes through
+        the driver, the posture that survives a 10^10-URL frontier.
+        Build over the seen hashes, incrementally OR in a second
+        batch, probe shard-local. Exactness contract identical to
+        dedup_anti_join: the final left_anti decides."""
+        from memorious_spark.operators.sharded_filter import (
+            build_sharded_bloom, dedup_new_sharded, update_sharded,
+        )
+
+        docs = _docs(spark, sf_dir)
+        cands = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://h"), F.col("doc_id") % 7,
+                F.lit(".example.com/doc/"), F.col("doc_id"),
+            ).alias("url"),
+        ).withColumn("url_hash", F.xxhash64("url"))
+        seen0 = cands.filter(F.col("doc_id") % 3 == 0)
+        filt = build_sharded_bloom(
+            seen0, "url_hash",
+            expected=max(64, seen0.count()), shards=8,
+        )
+        add = cands.filter(F.col("doc_id") % 5 == 0)
+        filt = update_sharded(filt, add, key="url_hash")
+        seen_all = (
+            seen0.select("url_hash").unionByName(add.select("url_hash"))
+        )
+        return dedup_new_sharded(cands, seen_all, filt).select(
+            "doc_id", "url"
+        )
+
     def incremental_skip(spark, sf_dir):
         ev = _events(spark, sf_dir)
         now = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
@@ -1706,6 +1740,7 @@ pipeline:
         "robots_politeness": robots_politeness,
         "dedup_anti_join": dedup_anti_join,
         "dedup_cuckoo": dedup_cuckoo,
+        "dedup_sharded": dedup_sharded,
         "incremental_skip": incremental_skip,
         "http_cache_replay": http_cache_replay,
         "incremental_second_run": incremental_second_run,
@@ -1886,6 +1921,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id AS url
             FROM documents WHERE doc_id % 3 <> 0 OR doc_id % 6 = 0
+        """,
+        "dedup_sharded": """
+            SELECT doc_id,
+                   'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id AS url
+            FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
         """,
         "incremental_skip": """
             SELECT e.event_id, e.user_id

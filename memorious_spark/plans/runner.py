@@ -74,6 +74,9 @@ from memorious_spark.operators.parse import extract_links_df, parse_stage
 from memorious_spark.operators.seen import (
     _BLOOM_MIN_ROWS, build_bloom, dedup_new, seen_entries, update_bloom,
 )
+from memorious_spark.operators.sharded_filter import (
+    build_sharded_bloom, dedup_new_sharded, update_sharded,
+)
 from memorious_spark.plans.pipeline import CrawlConfig
 from memorious_spark.plans.storage import RunStore
 
@@ -365,9 +368,17 @@ class CrawlRunner:
         # full-seen-scan rebuild at first engagement (the scan is
         # largest exactly when resuming matters).
         bloom, bloom_capacity = None, 0
-        if start_round > 0 and (saved := store.load_bloom()) is not None:
-            bitmap, m, k, bloom_capacity = saved
-            bloom = (bitmap, m, k)
+        # sharded posture (cfg.seen_filter == "sharded"): the filter is
+        # an executor-resident (shard, bitmap) table instead — engages
+        # at the same threshold, maintained by cogrouped Arrow jobs
+        # with O(P) driver traffic (operators/sharded_filter.py).
+        sharded = None
+        if start_round > 0:
+            if cfg.seen_filter == "sharded":
+                sharded = store.load_sharded(spark)
+            elif (saved := store.load_bloom()) is not None:
+                bitmap, m, k, bloom_capacity = saved
+                bloom = (bitmap, m, k)
         while rnd < cfg.max_rounds:
             if store.abort_requested():
                 status = "aborted"
@@ -621,22 +632,42 @@ class CrawlRunner:
                 else None
             )
             if seen_keys is not None and seen_count + 1 >= _BLOOM_MIN_ROWS:
-                if bloom is not None and seen_count + 1 > bloom_capacity:
-                    bloom = None  # past design capacity → rebuild below
-                if bloom is None:
-                    # one full build (first engagement or resume), sized
-                    # with 4× headroom so rounds of incremental inserts
-                    # stay inside the designed fpp
-                    bloom_capacity = max((seen_count + 1) * 4, _BLOOM_MIN_ROWS)
-                    bloom = build_bloom(
-                        seen_keys.distinct(), "url_hash", bloom_capacity
-                    )
+                if cfg.seen_filter == "sharded":
+                    if sharded is not None and seen_count + 1 > sharded.capacity:
+                        sharded = None  # past design capacity → rebuild
+                    if sharded is None:
+                        # distributed build — the shard table never
+                        # touches the driver (same 4× headroom sizing)
+                        sharded = build_sharded_bloom(
+                            seen_keys.distinct(), "url_hash",
+                            expected=max(
+                                (seen_count + 1) * 4, _BLOOM_MIN_ROWS
+                            ),
+                        )
+                else:
+                    if bloom is not None and seen_count + 1 > bloom_capacity:
+                        bloom = None  # past design capacity → rebuild below
+                    if bloom is None:
+                        # one full build (first engagement or resume), sized
+                        # with 4× headroom so rounds of incremental inserts
+                        # stay inside the designed fpp
+                        bloom_capacity = max(
+                            (seen_count + 1) * 4, _BLOOM_MIN_ROWS
+                        )
+                        bloom = build_bloom(
+                            seen_keys.distinct(), "url_hash", bloom_capacity
+                        )
             # new0 persisted: repartitionByRange's range-sampling pass
             # would otherwise execute the whole explode/window/anti-join
             # chain TWICE (once to sample bounds, once for real)
-            new0 = dedup_new(
-                cands, seen_keys, seen_count=seen_count + 1, bloom=bloom
-            ).persist()
+            if sharded is not None:
+                new0 = dedup_new_sharded(
+                    cands, seen_keys, sharded
+                ).persist()
+            else:
+                new0 = dedup_new(
+                    cands, seen_keys, seen_count=seen_count + 1, bloom=bloom
+                ).persist()
             # wave 2: materialize the dedup chain range-partitioned by the
             # emit order; ONE collect yields the per-partition sizes (→
             # emit_seq offsets) and their sum (→ n_new). A deferred
@@ -655,17 +686,24 @@ class CrawlRunner:
             new_links = seq_from_sizes(rp, _ORDER, sizes, start=next_seq)
             ph.mark(f"dedup+emit_seq ({n_new})")
             next_seq += n_new
-            if bloom is not None:
-                # incremental maintenance: OR in this round's seen
-                # additions (new links off the rp cache + the few
-                # redirect-source tags off the parsed cache) so the
-                # next probe never sees a false negative
-                bloom = update_bloom(
-                    bloom,
-                    rp.select("url_hash").unionByName(
-                        redirect_tags.select("url_hash")
-                    ),
-                )
+            # incremental maintenance: OR in this round's seen
+            # additions (new links off the rp cache + the few
+            # redirect-source tags off the parsed cache) so the
+            # next probe never sees a false negative.
+            # filter_driver_bytes = filter bytes that moved THROUGH THE
+            # DRIVER for maintenance this round (metrics row below):
+            # bloom mode pulls a bitmap-sized partial to the driver per
+            # update; sharded mode's cogrouped update moves only task
+            # statuses — 0 filter bytes, O(P), whatever the round found.
+            filter_driver_bytes = 0
+            round_adds = rp.select("url_hash").unionByName(
+                redirect_tags.select("url_hash")
+            )
+            if sharded is not None:
+                sharded = update_sharded(sharded, round_adds)
+            elif bloom is not None:
+                bloom = update_bloom(bloom, round_adds)
+                filter_driver_bytes = int(bloom[0].nbytes)
 
             new_frontier_rows = new_links.select(
                 "url", "url_norm", "url_hash",
@@ -811,6 +849,7 @@ class CrawlRunner:
                     ("round_summary", n_selected), ("fetched", n_hits),
                     ("emitted", n_emitted), ("stored", n_stored),
                     ("new_links", n_new),
+                    ("filter_driver_bytes", filter_driver_bytes),
                 ]
             ]
             store.write_round_local("metrics", rnd, metrics_rows)
@@ -825,7 +864,12 @@ class CrawlRunner:
 
             totals["fetched"] += n_hits
             totals["stored"] += n_stored
-            if bloom is not None:
+            if sharded is not None:
+                # checkpoint the shard table BEFORE the manifest
+                # advances (same ordering argument) — a distributed
+                # parquet write; no bitmap touches the driver
+                store.save_sharded(sharded)
+            elif bloom is not None:
                 # checkpoint the bitmap BEFORE the manifest advances
                 # (load_bloom docstring has the ordering argument)
                 store.save_bloom(bloom[0], bloom[1], bloom[2], bloom_capacity)

@@ -433,6 +433,60 @@ class RunStore:
             filt.shards[int(s)] = d["shards"][i].copy()
         return filt
 
+    # ---- executor-resident sharded seen-filter checkpoint ------------
+    # Unlike bloom.npz / cuckoo.npz (driver numpy state, driver file
+    # write), the sharded filter is a DataFrame of (shard, bm) rows and
+    # NEVER materializes on the driver: the checkpoint is a distributed
+    # parquet write from executors. Atomicity: write a fresh versioned
+    # dir, then atomically swap the pointer JSON; the superseded version
+    # is dropped one save later (the in-memory filter is an eager
+    # localCheckpoint, so nothing still reads the old files). Same
+    # false-positive-only ordering contract as save_bloom: saved BEFORE
+    # the manifest advances, so a loaded filter always covers at least
+    # the committed rounds.
+
+    def save_sharded(self, bloom) -> None:
+        """Checkpoint a :class:`~memorious_spark.operators.
+        sharded_filter.ShardedBloom` — parquet from executors plus a
+        driver-side geometry pointer (a few hundred bytes: the ONLY
+        driver-side bytes in the sharded filter's whole lifecycle)."""
+        meta_p = self.dir / "sharded_bloom.json"
+        prev = None
+        if meta_p.exists():
+            prev = json.loads(meta_p.read_text())
+        v = (prev["version"] + 1) if prev else 1
+        data_p = self.dir / f"sharded_bloom.v{v}"
+        bloom.df.write.mode("overwrite").parquet(str(data_p))
+        tmp = self.dir / "sharded_bloom.json.tmp"
+        tmp.write_text(json.dumps({
+            "version": v, "shards": bloom.shards, "m": bloom.m,
+            "k": bloom.k, "capacity": bloom.capacity,
+        }))
+        tmp.replace(meta_p)  # atomic pointer swap on POSIX
+        if prev:
+            shutil.rmtree(
+                self.dir / f"sharded_bloom.v{prev['version']}",
+                ignore_errors=True,
+            )
+
+    def load_sharded(self, spark):
+        """ShardedBloom or None — resume-side reload. The shard table
+        is re-checkpointed immediately so later saves can drop the
+        on-disk version it was read from."""
+        from memorious_spark.operators.sharded_filter import ShardedBloom
+
+        meta_p = self.dir / "sharded_bloom.json"
+        if not meta_p.exists():
+            return None
+        meta = json.loads(meta_p.read_text())
+        df = spark.read.parquet(
+            str(self.dir / f"sharded_bloom.v{meta['version']}")
+        ).localCheckpoint(eager=True)
+        return ShardedBloom(
+            df=df, shards=int(meta["shards"]), m=int(meta["m"]),
+            k=int(meta["k"]), capacity=int(meta["capacity"]),
+        )
+
     def commit_round(self, rnd: int, stats: dict) -> None:
         """Advance the manifest: round ``rnd`` is durable and complete."""
         manifest = self.read_manifest() or {"rounds": []}
