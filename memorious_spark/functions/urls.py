@@ -36,6 +36,8 @@ __all__ = [
     "is_trap_col",
     "registrable_domain_col",
     "py_registrable_domain",
+    "PSLRules",
+    "load_psl",
     "canon_col",
     "py_canon",
     "TWO_LEVEL_SUFFIXES",
@@ -214,45 +216,171 @@ def is_trap_col(
     )
 
 
-def registrable_domain_col(host: Column) -> Column:
+class PSLRules:
+    """Parsed Public Suffix List rules, grouped by label count so the
+    Column expression probes one hash set per depth:
+
+    - ``exact[k]``: k-label rules (``co.uk`` → exact[2])
+    - ``wild[k]``: wildcard BASES with k labels (``*.ck`` → wild[1] =
+      {"ck"}; the public suffixes it declares have k+1 labels)
+    - ``exc[k]``: k-label exception names (``!www.ck`` → exc[2])
+
+    PSL semantics (publicsuffix.org/list/): the prevailing rule is the
+    exception if any matches, else the longest matching rule, else the
+    implicit ``*`` (every unlisted TLD is a public suffix). The
+    registrable domain is the public suffix plus one label."""
+
+    __slots__ = ("exact", "wild", "exc", "max_labels")
+
+    def __init__(self, rules):
+        self.exact: dict[int, frozenset] = {}
+        self.wild: dict[int, frozenset] = {}
+        self.exc: dict[int, frozenset] = {}
+        ex, wi, xc = {}, {}, {}
+        for rule in rules:
+            if rule.startswith("!"):
+                name = rule[1:]
+                xc.setdefault(name.count(".") + 1, set()).add(name)
+            elif rule.startswith("*."):
+                base = rule[2:]
+                wi.setdefault(base.count(".") + 1, set()).add(base)
+            else:
+                ex.setdefault(rule.count(".") + 1, set()).add(rule)
+        self.exact = {k: frozenset(v) for k, v in ex.items()}
+        self.wild = {k: frozenset(v) for k, v in wi.items()}
+        self.exc = {k: frozenset(v) for k, v in xc.items()}
+        self.max_labels = max(
+            [*self.exact, *(k + 1 for k in self.wild), *self.exc, 1]
+        )
+
+
+def load_psl(path: str | None = None) -> PSLRules:
+    """Parse a publicsuffix.org-format list file. ``None`` loads the
+    vendored snapshot (``memorious_spark/data/
+    public_suffix_snapshot.dat`` — a pinned SUBSET of the public list;
+    swap the file for the full ``public_suffix_list.dat`` at
+    production, the format is identical)."""
+    import pathlib
+
+    if path is None:
+        path = str(
+            pathlib.Path(__file__).resolve().parent.parent
+            / "data" / "public_suffix_snapshot.dat"
+        )
+    rules = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            rules.append(line.split()[0].lower())
+    return PSLRules(rules)
+
+
+_PSL_CACHE: PSLRules | None = None
+
+
+def _default_psl() -> PSLRules:
+    """The vendored snapshot, parsed once per driver; falls back to
+    :data:`TWO_LEVEL_SUFFIXES` if the data file is missing (a stripped
+    install) so politeness grouping degrades, never crashes."""
+    global _PSL_CACHE
+    if _PSL_CACHE is None:
+        try:
+            _PSL_CACHE = load_psl()
+        except OSError:
+            _PSL_CACHE = PSLRules(TWO_LEVEL_SUFFIXES)
+    return _PSL_CACHE
+
+
+def registrable_domain_col(host: Column, rules: PSLRules | None = None) -> Column:
     """Registrable domain of a (lowercased) hostname: the label left
     of the public suffix — ``news.bbc.co.uk`` → ``bbc.co.uk``,
-    ``a.b.example.com`` → ``example.com``. Politeness at web scale
-    groups by THIS, not by host: ten thousand ``*.blogspot.com``
-    subdomains resolve to one origin infrastructure, and a per-host
-    budget would multiply the configured rate by the subdomain count.
-    Suffix set is :data:`TWO_LEVEL_SUFFIXES` (PSL-lite — see its
-    comment for the full-PSL seam). Pure Column, codegen-friendly;
-    bare/1-label hosts and IPs pass through unchanged."""
+    ``a.b.example.com`` → ``example.com``, ``alice.github.io`` →
+    ``alice.github.io`` (private-section registry). Politeness at web
+    scale groups by THIS, not by host: ten thousand
+    ``*.blogspot.com`` subdomains resolve to one origin
+    infrastructure, and a per-host budget would multiply the
+    configured rate by the subdomain count.
+
+    Full PSL semantics over the vendored snapshot (:func:`load_psl`):
+    longest-rule match with wildcard (``*.ck``) and exception
+    (``!www.ck``) rules; unlisted TLDs take the implicit ``*`` rule.
+    Pure Column — the rule sets compile to per-depth InSet hash
+    probes, JVM-side and codegen-friendly (the full 15k-rule public
+    list stays a few-hundred-KB plan literal; past that, the same
+    per-depth sets would ship as a broadcast join on the suffix key).
+    Hosts that ARE a public suffix, 1-label hosts, and IPv4 literals
+    pass through unchanged."""
+    rules = rules or _default_psl()
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(
-        ".", F.element_at(parts, -2), F.element_at(parts, -1)
-    )
-    last3 = F.concat_ws(
-        ".", F.element_at(parts, -3), F.element_at(parts, -2),
-        F.element_at(parts, -1),
-    )
+
+    def lastk(k: int) -> Column:
+        # try_element_at: a shorter host yields NULLs, concat_ws skips
+        # them, and the (n >= k) guard rejects the row anyway — while
+        # plain element_at would THROW under ANSI even inside a guarded
+        # branch (subexpression elimination hoists it out of the when)
+        return F.concat_ws(
+            ".", *[F.try_element_at(parts, F.lit(-i)) for i in range(k, 0, -1)]
+        )
+
+    # precedence: exceptions (longest first) beat every rule; then the
+    # longest matching exact/wildcard rule; implicit "*" default → 1
+    ps = None
+    for k in sorted(rules.exc, reverse=True):
+        cond = (n >= k) & lastk(k).isin(*rules.exc[k])
+        ps = F.when(cond, k - 1) if ps is None else ps.when(cond, k - 1)
+    for k in range(rules.max_labels, 1, -1):
+        cond = None
+        if k in rules.exact:
+            cond = (n >= k) & lastk(k).isin(*rules.exact[k])
+        if (k - 1) in rules.wild:
+            wcond = (n >= k) & lastk(k - 1).isin(*rules.wild[k - 1])
+            cond = wcond if cond is None else (cond | wcond)
+        if cond is not None:
+            ps = F.when(cond, k) if ps is None else ps.when(cond, k)
+    ps = F.lit(1) if ps is None else ps.otherwise(1)
+
     is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
     return (
-        F.when(is_ip | (n <= 2), host)
-        .when(last2.isin(*TWO_LEVEL_SUFFIXES), last3)
-        .otherwise(last2)
+        F.when(is_ip | (n <= ps), host)
+        .otherwise(F.concat_ws(".", F.slice(parts, n - ps, ps + 1)))
     )
 
 
-def py_registrable_domain(host: str) -> str:
-    """Pure-Python mirror of :func:`registrable_domain_col`."""
+def py_registrable_domain(host: str, rules: PSLRules | None = None) -> str:
+    """Pure-Python mirror of :func:`registrable_domain_col` (oracle/
+    test face) — identical precedence: exception > longest rule > the
+    implicit ``*``."""
     import re
 
+    rules = rules or _default_psl()
     if re.fullmatch(r"\d+\.\d+\.\d+\.\d+", host):
         return host
     parts = host.split(".")
-    if len(parts) <= 2:
+    n = len(parts)
+    ps = None
+    for k in sorted(rules.exc, reverse=True):
+        if n >= k and ".".join(parts[-k:]) in rules.exc[k]:
+            ps = k - 1
+            break
+    if ps is None:
+        for k in range(rules.max_labels, 1, -1):
+            if k in rules.exact and n >= k and ".".join(parts[-k:]) in rules.exact[k]:
+                ps = k
+                break
+            if (
+                (k - 1) in rules.wild and n >= k
+                and ".".join(parts[-(k - 1):]) in rules.wild[k - 1]
+            ):
+                ps = k
+                break
+    if ps is None:
+        ps = 1
+    if n <= ps:
         return host
-    if ".".join(parts[-2:]) in TWO_LEVEL_SUFFIXES:
-        return ".".join(parts[-3:])
-    return ".".join(parts[-2:])
+    return ".".join(parts[-(ps + 1):])
 
 
 def py_canon(url: str) -> str | None:

@@ -181,3 +181,82 @@ def test_trap_signals_hand_urls(spark):
     assert got["qblowup"].n_qparams == 20
     assert got["root"].n_segments == 0 and got["root"].max_seg_run == 0
     assert got["emptysegs"].n_segments == 2 and got["emptysegs"].max_seg_run == 2
+
+
+def test_registrable_domain_full_psl(spark):
+    """Full PSL semantics over the vendored snapshot: multi-level
+    rules, private-section registries (github.io), wildcard rules
+    (*.ck, *.kawasaki.jp), exception rules (!www.ck,
+    !city.kawasaki.jp), hosts that ARE a public suffix, and the
+    implicit * rule for unlisted TLDs — Column and py faces agree."""
+    cases = [
+        # directive's named trio
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("shop.example.com.au", "example.com.au"),
+        ("deep.sub.alice.github.io", "alice.github.io"),
+        # private-section registries
+        ("myblog.blogspot.com", "myblog.blogspot.com"),
+        ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        # wildcard: every *.ck 2-label suffix is public
+        ("bar.foo.ck", "bar.foo.ck"),
+        ("x.bar.foo.ck", "bar.foo.ck"),
+        # exception beats the wildcard
+        ("www.ck", "www.ck"),
+        ("a.www.ck", "www.ck"),
+        ("x.city.kawasaki.jp", "city.kawasaki.jp"),
+        ("bar.foo.kawasaki.jp", "bar.foo.kawasaki.jp"),
+        # 3-level exact rule
+        ("www.school.pvt.k12.ma.us", "school.pvt.k12.ma.us"),
+        # host IS a public suffix → pass through
+        ("co.uk", "co.uk"),
+        ("s3.amazonaws.com", "s3.amazonaws.com"),
+        ("foo.kawasaki.jp", "foo.kawasaki.jp"),
+        # implicit * rule
+        ("a.weird.unknowntld", "weird.unknowntld"),
+        ("weird.unknowntld", "weird.unknowntld"),
+    ]
+    df = spark.createDataFrame(cases, "host string, want string")
+    got = df.select(
+        "host", "want",
+        urls.registrable_domain_col(F.col("host")).alias("dom"),
+    ).collect()
+    for r in got:
+        assert r["dom"] == r["want"], (r["host"], r["dom"])
+        assert urls.py_registrable_domain(r["host"]) == r["want"], r["host"]
+
+
+def test_load_psl_parses_real_format():
+    """The parser reads the actual publicsuffix.org file format, so
+    the full pinned list drops in as the same file name."""
+    rules = urls.load_psl()
+    assert "co.uk" in rules.exact[2]
+    assert "github.io" in rules.exact[2]
+    assert "ck" in rules.wild[1]
+    assert "kawasaki.jp" in rules.wild[2]
+    assert "www.ck" in rules.exc[2]
+    assert "pvt.k12.ma.us" in rules.exact[4]
+    assert rules.max_labels >= 4
+
+
+def test_registrable_domain_property_py_mirror(spark):
+    """Property: the Column face equals the py mirror on randomized
+    hosts over snapshot suffixes — the contract the politeness oracle
+    leans on."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    suffixes = ["com", "co.uk", "ck", "www.ck", "kawasaki.jp",
+                "github.io", "unlistedtld", "s3.amazonaws.com",
+                "pvt.k12.ma.us", "city.kawasaki.jp"]
+    labels = ["a", "bb", "ccc", "x0"]
+    hosts = []
+    for suf, depth in itertools.product(suffixes, range(4)):
+        subs = [rng.choice(labels) for _ in range(depth)]
+        hosts.append(".".join(subs + [suf]))
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = df.select(
+        "host", urls.registrable_domain_col(F.col("host")).alias("dom")
+    ).collect()
+    for r in got:
+        assert r["dom"] == urls.py_registrable_domain(r["host"]), r["host"]
