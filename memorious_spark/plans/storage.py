@@ -29,6 +29,16 @@ class RunStore:
     def __init__(self, root: str | os.PathLike, crawler: str, run_id: str):
         self.dir = Path(root) / crawler / run_id
         self.dir.mkdir(parents=True, exist_ok=True)
+        # pluggable catalog IO for the upsert-managed sink tables
+        # (db_*/ftm_*): None keeps the built-in parquet delta stack;
+        # attach an IcebergIO (plans/catalog.py) and the same call
+        # sites issue MERGE INTO instead. Tags/cache/sequence shared
+        # tables stay on the parquet path either way.
+        self.catalog = None
+
+    @staticmethod
+    def _catalog_table(table: str) -> bool:
+        return table.startswith(("db_", "ftm_"))
 
     @property
     def manifest_path(self) -> Path:
@@ -122,7 +132,11 @@ class RunStore:
         return self.dir.parent / "_shared" / table
 
     def read_shared(
-        self, spark: SparkSession, table: str, schema: str | None = None
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: str | None = None,
+        _direct: bool = False,
     ) -> DataFrame | None:
         """Reads a SNAPSHOT: the file list is pinned at call time, so a
         later append to the same directory cannot leak into this
@@ -135,6 +149,8 @@ class RunStore:
         Tables written through :meth:`upsert_shared` (db_*/ftm_* sink
         tables) resolve their delta stack transparently here — every
         consumer sees the merged view."""
+        if self.catalog is not None and not _direct and self._catalog_table(table):
+            return self.catalog.read(spark, table)
         p = self.shared_path(table)
         if not p.is_dir():
             return None
@@ -177,9 +193,13 @@ class RunStore:
         keys: list[str],
         now_ts: str,
         compact_after: int = 8,
+        _direct: bool = False,
     ) -> None:
         from pyspark.sql import functions as F
 
+        if self.catalog is not None and not _direct:
+            self.catalog.upsert(spark, table, batch, keys, now_ts)
+            return
         p = self.shared_path(table)
         self._recover_compaction(p)
         p.mkdir(parents=True, exist_ok=True)
