@@ -5,9 +5,10 @@ parse UDF and the reference-faithful oracle (same import, same bytes).
 The reference delegates fuzzy parsing to ``dateparser`` (not available
 in this environment); this stand-in covers the formats web pages
 actually wrap dates in — ISO, slashed/dotted numerics, English month
-names, and German/French/Spanish month names ("5. Januar 2024",
-"le 5 janvier 2024", "5 de enero de 2024" — the corpus's non-English
-languages), embedded in surrounding prose — via a pinned format list
+names, and de/fr/es/it/pt/nl/pl month names ("5. Januar 2024",
+"le 5 janvier 2024", "5 de enero de 2024", "5 gennaio 2024",
+"5 de janeiro de 2024", "5 stycznia 2024"), embedded in surrounding
+prose — via a pinned format list
 + candidate extraction. ``format_hint`` takes the exact
 ``datetime.strptime`` path of the reference. Timezone-aware results
 normalize to naive UTC (``naive_datetime``, dates.py:25-31).
@@ -56,23 +57,59 @@ _CANDIDATE_RES = [
 ]
 
 
-# non-English month names (the dateparser-locale subset the corpus's
-# languages need: de/fr/es; lowercase, accent variants included)
+# non-English month names (the dateparser-locale subset the engine's
+# corpus languages need: de/fr/es/it/pt/nl/pl; lowercase, accent and
+# ASCII-fallback variants included; overlapping spellings across
+# languages — marzo/agosto/juni/november/… — all map to the same
+# month, so the union is collision-free)
 _MONTHS_I18N = {
+    # de
     "januar": 1, "februar": 2, "märz": 3, "maerz": 3, "april": 4,
     "mai": 5, "juni": 6, "juli": 7, "august": 8, "september": 9,
     "oktober": 10, "november": 11, "dezember": 12,
+    # fr
     "janvier": 1, "février": 2, "fevrier": 2, "mars": 3, "avril": 4,
     "juin": 6, "juillet": 7, "août": 8, "aout": 8, "septembre": 9,
     "octobre": 10, "novembre": 11, "décembre": 12, "decembre": 12,
+    # es
     "enero": 1, "febrero": 2, "marzo": 3, "abril": 4, "mayo": 5,
     "junio": 6, "julio": 7, "agosto": 8, "septiembre": 9,
     "octubre": 10, "noviembre": 11, "diciembre": 12,
+    # it
+    "gennaio": 1, "febbraio": 2, "aprile": 4, "maggio": 5,
+    "giugno": 6, "luglio": 7, "settembre": 9, "ottobre": 10,
+    "dicembre": 12,
+    # pt
+    "janeiro": 1, "fevereiro": 2, "março": 3, "marco": 3, "maio": 5,
+    "junho": 6, "julho": 7, "setembro": 9, "outubro": 10,
+    "novembro": 11, "dezembro": 12,
+    # nl
+    "januari": 1, "februari": 2, "maart": 3, "mei": 5,
+    "augustus": 8, "december": 12,
+    # pl (dates use the genitive: "5 stycznia 2024"; nominative and
+    # ASCII fallbacks included)
+    "styczeń": 1, "styczen": 1, "stycznia": 1,
+    "luty": 2, "lutego": 2,
+    "marzec": 3, "marca": 3,
+    "kwiecień": 4, "kwiecien": 4, "kwietnia": 4,
+    "maj": 5, "maja": 5,
+    "czerwiec": 6, "czerwca": 6,
+    "lipiec": 7, "lipca": 7,
+    "sierpień": 8, "sierpien": 8, "sierpnia": 8,
+    "wrzesień": 9, "wrzesien": 9, "września": 9, "wrzesnia": 9,
+    "październik": 10, "pazdziernik": 10,
+    "października": 10, "pazdziernika": 10,
+    "listopad": 11, "listopada": 11,
+    "grudzień": 12, "grudzien": 12, "grudnia": 12,
 }
 
-# "5. Januar 2024" / "le 5 janvier 2024" / "5 de enero de 2024"
+# "5. Januar 2024" / "le 5 janvier 2024" / "5 de enero de 2024" /
+# "5 de janeiro de 2024" / "5 gennaio 2024" / "5 stycznia 2024" —
+# the word class covers Latin-1 accents (À-ÿ) AND Latin Extended-A
+# (Ā-ſ: Polish ś/ż/ń/ę/ą, etc.)
 _I18N_RE = re.compile(
-    r"(\d{1,2})\.?(?:\s+de)?\s+([a-zA-ZäöüßéèêûàâôîÀ-ÿ]+)\.?(?:\s+de)?\s+(\d{4})"
+    r"(\d{1,2})\.?(?:\s+de)?\s+"
+    r"([a-zA-ZäöüßéèêûàâôîÀ-ÿĀ-ſ]+)\.?(?:\s+de)?\s+(\d{4})"
 )
 
 
@@ -105,13 +142,36 @@ _REL_UNITS = {
     "mois": "months", "an": "years", "ans": "years",
     "année": "years", "années": "years", "annee": "years",
     "annees": "years",
-    # es (hace 3 días)
+    # es (hace 3 días) — segundo/minuto/hora/dia/semana/mes/ano forms
+    # are shared letter-for-letter with pt, one mapping covers both
     "segundo": "seconds", "segundos": "seconds", "minuto": "minutes",
     "minutos": "minutes", "hora": "hours", "horas": "hours",
     "día": "days", "días": "days", "dia": "days", "dias": "days",
     "semana": "weeks", "semanas": "weeks", "mes": "months",
     "meses": "months", "año": "years", "años": "years",
     "ano": "years", "anos": "years",
+    # pt extras (há 3 dias — "mês" is the only spelling es lacks)
+    "mês": "months",
+    # it (3 giorni fa)
+    "secondi": "seconds", "minuti": "minutes", "ora": "hours",
+    "ore": "hours", "giorno": "days", "giorni": "days",
+    "settimana": "weeks", "settimane": "weeks", "mese": "months",
+    "mesi": "months", "anno": "years", "anni": "years",
+    # nl (3 dagen geleden)
+    "seconden": "seconds", "minuut": "minutes", "uur": "hours",
+    "uren": "hours", "dag": "days", "dagen": "days",
+    "weken": "weeks", "maand": "months", "maanden": "months",
+    "jaar": "years", "jaren": "years",
+    # pl (3 dni temu) — counted nouns decline; all case forms listed
+    "sekunda": "seconds", "sekundy": "seconds", "sekund": "seconds",
+    "minuta": "minutes", "minuty": "minutes", "minut": "minutes",
+    "godzina": "hours", "godziny": "hours", "godzin": "hours",
+    "dzień": "days", "dzien": "days", "dni": "days",
+    "tydzień": "weeks", "tydzien": "weeks", "tygodnie": "weeks",
+    "tygodni": "weeks",
+    "miesiąc": "months", "miesiac": "months", "miesiące": "months",
+    "miesiace": "months", "miesięcy": "months", "miesiecy": "months",
+    "rok": "years", "lata": "years", "lat": "years",
 }
 # fr/es share "minute(s)" spellings with en; de "minuten" added above.
 _REL_UNITS.setdefault("minute", "minutes")
@@ -119,6 +179,7 @@ _REL_UNITS.setdefault("minute", "minutes")
 _WORD_NUMS = {
     "a": 1, "an": 1, "one": 1, "ein": 1, "eine": 1, "einer": 1,
     "einem": 1, "un": 1, "une": 1, "uno": 1, "una": 1,
+    "um": 1, "uma": 1, "een": 1, "jeden": 1, "jedna": 1,
 }
 
 _UNIT_ALT = "|".join(sorted(_REL_UNITS, key=len, reverse=True))
@@ -131,15 +192,30 @@ _REL_RES = [
     re.compile(rf"\bil\s+y\s+a\s+(\d+|\w+)\s+({_UNIT_ALT})\b", re.IGNORECASE),
     # es: "hace 3 días"
     re.compile(rf"\bhace\s+(\d+|\w+)\s+({_UNIT_ALT})\b", re.IGNORECASE),
+    # pt: "há 3 dias"
+    re.compile(rf"\bh[áa]\s+(\d+|\w+)\s+({_UNIT_ALT})\b", re.IGNORECASE),
+    # it: "3 giorni fa"
+    re.compile(rf"\b(\d+|\w+)\s+({_UNIT_ALT})\s+fa\b", re.IGNORECASE),
+    # nl: "3 dagen geleden"
+    re.compile(
+        rf"\b(\d+|\w+)\s+({_UNIT_ALT})\s+geleden\b", re.IGNORECASE
+    ),
+    # pl: "3 dni temu"
+    re.compile(rf"\b(\d+|\w+)\s+({_UNIT_ALT})\s+temu\b", re.IGNORECASE),
 ]
 
 _DAY_WORDS = {
-    # en / de / fr / es → day offset; midnight of that day, the way
-    # dateparser renders bare day words with PREFER_DATES_FROM default
+    # en/de/fr/es/it/pt/nl/pl → day offset; midnight of that day, the
+    # way dateparser renders bare day words with PREFER_DATES_FROM
+    # default ("morgen" is +1 in BOTH de and nl — no conflict)
     "yesterday": -1, "today": 0, "tomorrow": 1,
     "gestern": -1, "heute": 0, "morgen": 1,
     "hier": -1, "aujourd'hui": 0, "demain": 1,
     "ayer": -1, "hoy": 0, "mañana": 1, "manana": 1,
+    "ieri": -1, "oggi": 0, "domani": 1,
+    "ontem": -1, "hoje": 0, "amanhã": 1, "amanha": 1,
+    "gisteren": -1, "vandaag": 0,
+    "wczoraj": -1, "dzisiaj": 0, "dziś": 0, "dzis": 0, "jutro": 1,
 }
 _DAY_WORDS_RE = re.compile(
     r"(?<![\w'])(" + "|".join(re.escape(w) for w in _DAY_WORDS) + r")(?![\w'])",
@@ -207,8 +283,10 @@ def py_parse_date(
     now: datetime | None = None,
 ):
     """``now`` enables the relative-date family ("3 days ago",
-    "vor 3 Tagen", "il y a 3 jours", "hace 3 días", yesterday/today/
-    tomorrow in en/de/fr/es) against a deterministic base. Left None,
+    "vor 3 Tagen", "il y a 3 jours", "hace 3 días", "há 3 dias",
+    "3 giorni fa", "3 dagen geleden", "3 dni temu", yesterday/today/
+    tomorrow in en/de/fr/es/it/pt/nl/pl) against a deterministic
+    base. Left None,
     relative shapes stay unparsed — a distributed engine must NOT call
     ``datetime.now()`` per executor the way dateparser does (two
     executors would disagree about "yesterday"); the driver pins one
@@ -237,7 +315,8 @@ def py_parse_date(
                 if parsed is not None:
                     break
     if parsed is None:
-        # de/fr/es month-name shapes (dateparser-locale stand-in)
+        # de/fr/es/it/pt/nl/pl month-name shapes (dateparser-locale
+        # stand-in)
         for m in _I18N_RE.finditer(cleaned):
             month = _MONTHS_I18N.get(m.group(2).lower())
             if month is None:

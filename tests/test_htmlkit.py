@@ -253,3 +253,47 @@ def test_parse_sitemap():
     assert parse_sitemap("not xml <") == []
     assert parse_sitemap(None) == []
     assert parse_sitemap("") == []
+
+
+def test_dates_extended_locales():
+    """dateparser-locale breadth (VERDICT r4 residual #3): it/pt/nl/pl
+    month names (incl. Polish genitive + accent-stripped fallbacks),
+    relative shapes ("3 giorni fa", "há 3 dias", "3 dagen geleden",
+    "3 dni temu"), and day words — all against the injected base;
+    uncovered locales still honest-fail."""
+    from datetime import datetime
+
+    from memorious_spark.functions.dates import py_iso_date
+
+    now = datetime(2024, 3, 15, 10, 30)
+    absolute = [
+        ("pubblicato il 5 gennaio 2024", "2024-01-05T00:00:00"),
+        ("publicado em 5 de janeiro de 2024", "2024-01-05T00:00:00"),
+        ("gepubliceerd op 5 januari 2024", "2024-01-05T00:00:00"),
+        ("opublikowano 5 stycznia 2024", "2024-01-05T00:00:00"),
+        ("5 września 2023", "2023-09-05T00:00:00"),
+        ("5 wrzesnia 2023", "2023-09-05T00:00:00"),  # ASCII fallback
+        ("12 março 2021", "2021-03-12T00:00:00"),
+    ]
+    for text, want in absolute:
+        assert py_iso_date(text) == want, text
+    relative = [
+        ("há 3 dias", "2024-03-12T10:30:00"),
+        ("3 giorni fa", "2024-03-12T10:30:00"),
+        ("2 settimane fa", "2024-03-01T10:30:00"),
+        ("3 dagen geleden", "2024-03-12T10:30:00"),
+        ("een uur geleden", "2024-03-15T09:30:00"),
+        ("3 dni temu", "2024-03-12T10:30:00"),
+        ("2 lata temu", "2022-03-15T10:30:00"),
+        ("5 miesięcy temu", "2023-10-15T10:30:00"),  # month clamp path
+        ("ieri", "2024-03-14T00:00:00"),
+        ("ontem", "2024-03-14T00:00:00"),
+        ("wczoraj", "2024-03-14T00:00:00"),
+        ("jutro", "2024-03-16T00:00:00"),
+    ]
+    for text, want in relative:
+        assert py_iso_date(text, now=now) == want, text
+    # tr/ru/etc. stay honest-fails, and relative shapes without an
+    # injected base never guess
+    assert py_iso_date("5 Ocak 2024") is None
+    assert py_iso_date("3 giorni fa") is None
