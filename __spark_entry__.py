@@ -1733,58 +1733,25 @@ pipeline:
         docs = _docs(spark, sf_dir)
         return lm_bigram_scores(docs, docs.filter("doc_id % 10 = 0"))
 
+    # ---- DRIVER-WINDOW ORDER (VERDICT r4 #2) -------------------------
+    # The driver's correctness gate checks the FIRST 50 entries only.
+    # Rotation policy (recorded in ROUND_NOTES): positions 1-50 hold
+    # (a) every operator that is new or changed this round, (b) every
+    # query that has never had a driver row (the r4 sweep-only set),
+    # and (c) every SURVEY §2-mapped query; multi-round driver-green
+    # LLM-pipeline veterans park past the window (each still verified
+    # every round by tools/oracle_check.py's full sweep).
     return {
-        "crawl_bfs_seen": crawl_bfs_seen,
-        "crawl_min_depth": crawl_min_depth,
-        "politeness_budget": politeness_budget,
-        "robots_politeness": robots_politeness,
-        "dedup_anti_join": dedup_anti_join,
-        "dedup_cuckoo": dedup_cuckoo,
-        "dedup_sharded": dedup_sharded,
-        "incremental_skip": incremental_skip,
-        "http_cache_replay": http_cache_replay,
-        "incremental_second_run": incremental_second_run,
-        "tags_kv": tags_kv,
-        "db_nested_upsert": db_nested_upsert,
+        # new/changed this round, least proven first
+        "token_shards": token_shards,          # r4's one red row — fixed
+        "dedup_sharded": dedup_sharded,        # new r5 operator
+        "corpus_dedup": corpus_dedup_op,       # exact stage reshaped r5
+        "corpus_curate": corpus_curate_op,     # rides corpus_dedup
+        "domain_kernel": domain_kernel,        # full-PSL semantics r5
+        "meta_dates": meta_dates,              # locale breadth r5
+        "db_nested_upsert": db_nested_upsert,  # catalog seam routing r5
         "merge_first_last_seen": merge_first_last_seen,
-        "seed_gen": seed_gen,
-        "enumerate_gen": enumerate_gen,
-        "sequence_gen": sequence_gen,
-        "dates_gen": dates_gen,
-        "init_frontier_dates": init_frontier_dates,
-        "url_kernel": url_kernel,
-        "domain_kernel": domain_kernel,
-        "url_canon": url_canon,
-        "make_id": make_id,
-        "rule_filter": rule_filter,
-        "metrics_rollup": metrics_rollup,
-        "check_validators": check_validators,
-        "exact_dedup": exact_dedup,
-        "minhash_lsh_dedup": minhash_lsh_dedup,
-        "ngram_jaccard_dedup": ngram_jaccard_dedup,
-        "simhash_dedup": simhash_dedup,
-        "embedding_dup_pairs": embedding_dup_pairs,
-        "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
-        "embedding_knn": embedding_knn,
-        "ann_lsh_knn": ann_lsh_knn,
-        "ann_ivf_knn": ann_ivf_knn,
-        "ann_pq_knn": ann_pq_knn,
-        "ann_ivfpq_knn": ann_ivfpq_knn,
-        "dedup_components": dedup_components_op,
-        "corpus_dedup": corpus_dedup_op,
-        "corpus_curate": corpus_curate_op,
-        "lang_id": lang_id,
-        "text_normalize": text_normalize,
-        "text_quality": text_quality,
-        "token_stats": token_stats,
-        "strip_boilerplate": strip_boilerplate,
-        "pii_scrub": pii_scrub_op,
-        "decontaminate": decontaminate,
-        "token_shards": token_shards,
-        "quota_sample_lang": quota_sample_lang,
-        "semantic_dedup": semantic_dedup_op,
-        "hash_split": hash_split_op,
-        "dsir_weights": dsir_weights,
+        # never driver-checked before (r4 sweep-only set)
         "span_dup_frac": span_dup_frac,
         "paragraph_dedup": paragraph_dedup_op,
         "span_dedup_rewrite": span_dedup_rewrite,
@@ -1797,14 +1764,64 @@ pipeline:
         "doc_fingerprint": doc_fingerprint,
         "media_features": media_features,
         "media_decode_bmp": media_decode_bmp,
-        "meta_dates": meta_dates,
         "extract_archive": extract_archive,
         "gopher_quality": gopher_quality,
         "c4_line_filter": c4_line_filter,
         "ngram_repetition": ngram_repetition,
         "link_pagerank": link_pagerank,
         "lm_perplexity": lm_perplexity,
-        "clean_html_op": clean_html_op,
+        "clean_html_op": clean_html_op,        # rows-only by design
+        # single-round-green composites kept under the driver's eye
+        "ann_ivfpq_knn": ann_ivfpq_knn,        # exercises IVF+PQ+ADC
+        "semantic_dedup": semantic_dedup_op,
+        # SURVEY §2-mapped crawl surface
+        "crawl_bfs_seen": crawl_bfs_seen,
+        "crawl_min_depth": crawl_min_depth,
+        "politeness_budget": politeness_budget,
+        "robots_politeness": robots_politeness,
+        "dedup_anti_join": dedup_anti_join,
+        "dedup_cuckoo": dedup_cuckoo,
+        "incremental_skip": incremental_skip,
+        "http_cache_replay": http_cache_replay,
+        "incremental_second_run": incremental_second_run,
+        "tags_kv": tags_kv,
+        "seed_gen": seed_gen,
+        "enumerate_gen": enumerate_gen,
+        "sequence_gen": sequence_gen,
+        "dates_gen": dates_gen,
+        "init_frontier_dates": init_frontier_dates,
+        "url_kernel": url_kernel,
+        "url_canon": url_canon,
+        "make_id": make_id,
+        "rule_filter": rule_filter,
+        "metrics_rollup": metrics_rollup,
+        "check_validators": check_validators,
+        # ---- position 50 ends the driver window ----------------------
+        # multi-round driver-green veterans (every one verified each
+        # round by the full oracle sweep; ann_pq_knn and text_normalize
+        # are single-round green but unchanged since, and their
+        # machinery rides ann_ivfpq_knn / the normalize pytest suite)
+        "exact_dedup": exact_dedup,
+        "minhash_lsh_dedup": minhash_lsh_dedup,
+        "ngram_jaccard_dedup": ngram_jaccard_dedup,
+        "simhash_dedup": simhash_dedup,
+        "embedding_dup_pairs": embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": embedding_dup_pairs_lsh,
+        "embedding_knn": embedding_knn,
+        "ann_lsh_knn": ann_lsh_knn,
+        "ann_ivf_knn": ann_ivf_knn,
+        "ann_pq_knn": ann_pq_knn,
+        "dedup_components": dedup_components_op,
+        "lang_id": lang_id,
+        "text_normalize": text_normalize,
+        "text_quality": text_quality,
+        "token_stats": token_stats,
+        "strip_boilerplate": strip_boilerplate,
+        "pii_scrub": pii_scrub_op,
+        "decontaminate": decontaminate,
+        "quota_sample_lang": quota_sample_lang,
+        "hash_split": hash_split_op,
+        "dsir_weights": dsir_weights,
     }
 
 
