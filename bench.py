@@ -147,6 +147,29 @@ def run_worker(
             best = min(best, time.time() - t)
         return round(best, 3)
 
+    def _sharded_cycle(docs_df) -> None:
+        from memorious_spark.operators.sharded_filter import (
+            build_sharded_bloom, dedup_new_sharded, update_sharded,
+        )
+
+        cands = docs_df.select(
+            "doc_id",
+            F.xxhash64(F.concat(F.lit("u"), F.col("doc_id"))).alias(
+                "url_hash"
+            ),
+        )
+        seen0 = cands.filter(F.col("doc_id") % 3 == 0)
+        filt = build_sharded_bloom(
+            seen0, "url_hash", expected=max(64, n_docs), shards=cpus
+        )
+        add = cands.filter(F.col("doc_id") % 5 == 0)
+        filt = update_sharded(filt, add)
+        seen_all = seen0.select("url_hash").unionByName(
+            add.select("url_hash")
+        )
+        dedup_new_sharded(cands, seen_all, filt).count()
+        filt.df.unpersist()
+
     # Single-process CPU probe bracketing the query block: the global
     # hw_ceiling is measured minutes away from the queries, but host
     # steal here is episodic on minutes timescales — r4's "regression"
@@ -302,6 +325,11 @@ def run_worker(
             lambda: dedup.remove_duplicate_spans(docs, k=5)
             .agg(F.sum("n_removed")).collect()
         ),
+        # executor-resident sharded seen-filter: distributed build over
+        # 1/3 of the corpus urls, incremental update with another 1/5,
+        # shard-local probe + exact anti-join — the whole maintenance
+        # cycle a frontier round pays in `seen_filter: sharded` mode
+        "dedup_sharded": timed(lambda: _sharded_cycle(docs)),
     }
     query_window_ceiling = None
     queries_normalized: dict = {}
