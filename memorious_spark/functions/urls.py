@@ -254,12 +254,20 @@ class PSLRules:
         )
 
 
-def load_psl(path: str | None = None) -> PSLRules:
+def load_psl(path: str | None = None, include_private: bool = True) -> PSLRules:
     """Parse a publicsuffix.org-format list file. ``None`` loads the
     vendored snapshot (``memorious_spark/data/
     public_suffix_snapshot.dat`` — a pinned SUBSET of the public list;
     swap the file for the full ``public_suffix_list.dat`` at
-    production, the format is identical)."""
+    production, the format is identical).
+
+    ``include_private=False`` keeps only the ICANN section (the real
+    file's ``===BEGIN PRIVATE DOMAINS===`` marker starts the private
+    one). The PRIVATE section lists platform registries (github.io,
+    blogspot.com) where each subdomain is an independent REGISTRANT —
+    right for eTLD+1/cookie semantics, wrong for politeness, which
+    groups by origin INFRASTRUCTURE (all of *.blogspot.com is one
+    server farm and should share one budget)."""
     import pathlib
 
     if path is None:
@@ -268,40 +276,58 @@ def load_psl(path: str | None = None) -> PSLRules:
             / "data" / "public_suffix_snapshot.dat"
         )
     rules = []
+    in_private = False
     with open(path, encoding="utf-8") as fh:
         for line in fh:
             line = line.strip()
-            if not line or line.startswith("//"):
+            if line.startswith("//"):
+                if "BEGIN PRIVATE DOMAINS" in line:
+                    in_private = True
+                elif "END PRIVATE DOMAINS" in line:
+                    in_private = False
+                continue
+            if not line or (in_private and not include_private):
                 continue
             rules.append(line.split()[0].lower())
     return PSLRules(rules)
 
 
-_PSL_CACHE: PSLRules | None = None
+_PSL_CACHE: dict[bool, PSLRules] = {}
 
 
-def _default_psl() -> PSLRules:
-    """The vendored snapshot, parsed once per driver; falls back to
-    :data:`TWO_LEVEL_SUFFIXES` if the data file is missing (a stripped
-    install) so politeness grouping degrades, never crashes."""
-    global _PSL_CACHE
-    if _PSL_CACHE is None:
+def _default_psl(include_private: bool = True) -> PSLRules:
+    """The vendored snapshot, parsed once per driver per section
+    choice; falls back to :data:`TWO_LEVEL_SUFFIXES` if the data file
+    is missing (a stripped install) so politeness grouping degrades,
+    never crashes."""
+    if include_private not in _PSL_CACHE:
         try:
-            _PSL_CACHE = load_psl()
+            _PSL_CACHE[include_private] = load_psl(
+                include_private=include_private
+            )
         except OSError:
-            _PSL_CACHE = PSLRules(TWO_LEVEL_SUFFIXES)
-    return _PSL_CACHE
+            _PSL_CACHE[include_private] = PSLRules(TWO_LEVEL_SUFFIXES)
+    return _PSL_CACHE[include_private]
 
 
-def registrable_domain_col(host: Column, rules: PSLRules | None = None) -> Column:
+def registrable_domain_col(
+    host: Column,
+    rules: PSLRules | None = None,
+    include_private: bool = True,
+) -> Column:
     """Registrable domain of a (lowercased) hostname: the label left
     of the public suffix — ``news.bbc.co.uk`` → ``bbc.co.uk``,
     ``a.b.example.com`` → ``example.com``, ``alice.github.io`` →
-    ``alice.github.io`` (private-section registry). Politeness at web
-    scale groups by THIS, not by host: ten thousand
-    ``*.blogspot.com`` subdomains resolve to one origin
-    infrastructure, and a per-host budget would multiply the
-    configured rate by the subdomain count.
+    ``alice.github.io`` (private-section registry).
+
+    Two consumers, two section choices (``include_private``, ignored
+    when explicit ``rules`` are passed): eTLD+1 semantics (dedup
+    keys, cookie-style scoping) want the FULL list — each github.io
+    site is its own registrant. POLITENESS wants ICANN-only
+    (``include_private=False``): ten thousand ``*.blogspot.com``
+    subdomains resolve to ONE origin infrastructure, and a
+    per-registrant budget would multiply the configured rate by the
+    subdomain count — exactly what domain grouping exists to stop.
 
     Full PSL semantics over the vendored snapshot (:func:`load_psl`):
     longest-rule match with wildcard (``*.ck``) and exception
@@ -312,7 +338,7 @@ def registrable_domain_col(host: Column, rules: PSLRules | None = None) -> Colum
     per-depth sets would ship as a broadcast join on the suffix key).
     Hosts that ARE a public suffix, 1-label hosts, and IPv4 literals
     pass through unchanged."""
-    rules = rules or _default_psl()
+    rules = rules or _default_psl(include_private)
     parts = F.split(host, r"\.")
     n = F.size(parts)
 
@@ -349,13 +375,17 @@ def registrable_domain_col(host: Column, rules: PSLRules | None = None) -> Colum
     )
 
 
-def py_registrable_domain(host: str, rules: PSLRules | None = None) -> str:
+def py_registrable_domain(
+    host: str,
+    rules: PSLRules | None = None,
+    include_private: bool = True,
+) -> str:
     """Pure-Python mirror of :func:`registrable_domain_col` (oracle/
     test face) — identical precedence: exception > longest rule > the
     implicit ``*``."""
     import re
 
-    rules = rules or _default_psl()
+    rules = rules or _default_psl(include_private)
     if re.fullmatch(r"\d+\.\d+\.\d+\.\d+", host):
         return host
     parts = host.split(".")

@@ -92,7 +92,10 @@ def politeness_dequeue(
     if group == "domain":
         from memorious_spark.functions.urls import registrable_domain_col
 
-        grp = registrable_domain_col(F.col("host"))
+        # ICANN-only: politeness groups by origin INFRASTRUCTURE, so
+        # private-section platform registries (blogspot.com,
+        # github.io) stay ONE group — the whole point of domain mode
+        grp = registrable_domain_col(F.col("host"), include_private=False)
     elif group == "host":
         grp = F.col("host")
     else:

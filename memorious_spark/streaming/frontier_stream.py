@@ -184,7 +184,9 @@ def run_streaming_crawl(
                 registrable_domain_col,
             )
 
-            grp = registrable_domain_col(grp)
+            # ICANN-only rules: batch-face parity (frontier.py) —
+            # politeness groups by infrastructure, not registrant
+            grp = registrable_domain_col(grp, include_private=False)
         cands = stream.withColumn("host", grp)
         stream = politeness_release(
             cands.select("host", "url", "emit_seq", "attempt"),

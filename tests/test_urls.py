@@ -260,3 +260,38 @@ def test_registrable_domain_property_py_mirror(spark):
     ).collect()
     for r in got:
         assert r["dom"] == urls.py_registrable_domain(r["host"]), r["host"]
+
+
+def test_registrable_domain_icann_vs_private(spark):
+    """The two section postures: full PSL (default — eTLD+1/registrant
+    semantics) treats each *.blogspot.com / *.github.io subdomain as
+    its own registrable domain; ICANN-only (what politeness uses —
+    infrastructure semantics) folds them into one. ICANN rules are a
+    strict subset, so non-private hosts agree between the postures."""
+    cases = [
+        # host, full-PSL want, ICANN-only want
+        ("myblog.blogspot.com", "myblog.blogspot.com", "blogspot.com"),
+        ("deep.alice.github.io", "alice.github.io", "github.io"),
+        ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com",
+         "amazonaws.com"),
+        ("news.bbc.co.uk", "bbc.co.uk", "bbc.co.uk"),
+        ("a.b.example.com", "example.com", "example.com"),
+        ("x.city.kawasaki.jp", "city.kawasaki.jp", "city.kawasaki.jp"),
+    ]
+    df = spark.createDataFrame(
+        cases, "host string, want_full string, want_icann string"
+    )
+    got = df.select(
+        "host", "want_full", "want_icann",
+        urls.registrable_domain_col(F.col("host")).alias("full"),
+        urls.registrable_domain_col(
+            F.col("host"), include_private=False
+        ).alias("icann"),
+    ).collect()
+    for r in got:
+        assert r["full"] == r["want_full"], (r["host"], r["full"])
+        assert r["icann"] == r["want_icann"], (r["host"], r["icann"])
+        assert urls.py_registrable_domain(r["host"]) == r["want_full"]
+        assert urls.py_registrable_domain(
+            r["host"], include_private=False
+        ) == r["want_icann"]
