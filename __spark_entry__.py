@@ -1209,6 +1209,19 @@ pipeline:
             _docs(spark, sf_dir).select("doc_id", "lang"), "lang", quota=60
         )
 
+    def temperature_mix_lang(spark, sf_dir):
+        """Temperature-based corpus mixing (Pile/multilingual-LM
+        resampling): per-language shares flattened by tau=0.5 into a
+        deterministic per-document `copies` column — heads downsample
+        (copies 0/1), tails upsample (copies >= 1) — engine-
+        reproducible arithmetic (decimal weight sums, 6-dp rounded
+        targets, md5 selection order)."""
+        from memorious_spark.operators.sampling import temperature_mix
+
+        return temperature_mix(
+            _docs(spark, sf_dir).select("doc_id", "lang"), "lang", tau=0.5
+        )
+
     def warc_roundtrip(spark, sf_dir):
         """WARC sink → source round trip: the corpus is written as
         ISO-28500 records (one file per partition through pyarrow.fs)
@@ -1771,9 +1784,9 @@ pipeline:
         "link_pagerank": link_pagerank,
         "lm_perplexity": lm_perplexity,
         "clean_html_op": clean_html_op,        # rows-only by design
-        # single-round-green composites kept under the driver's eye
+        # new r5 operator + the single-round composite under the eye
+        "temperature_mix_lang": temperature_mix_lang,
         "ann_ivfpq_knn": ann_ivfpq_knn,        # exercises IVF+PQ+ADC
-        "semantic_dedup": semantic_dedup_op,
         # SURVEY §2-mapped crawl surface
         "crawl_bfs_seen": crawl_bfs_seen,
         "crawl_min_depth": crawl_min_depth,
@@ -1801,6 +1814,7 @@ pipeline:
         # round by the full oracle sweep; ann_pq_knn and text_normalize
         # are single-round green but unchanged since, and their
         # machinery rides ann_ivfpq_knn / the normalize pytest suite)
+        "semantic_dedup": semantic_dedup_op,
         "exact_dedup": exact_dedup,
         "minhash_lsh_dedup": minhash_lsh_dedup,
         "ngram_jaccard_dedup": ngram_jaccard_dedup,
@@ -2632,6 +2646,35 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(doc_id::varchar), doc_id) AS rn
               FROM documents
             ) WHERE rn <= 60
+        """,
+        # temperature mix: per-group target t = floor(round(w*N/W, 6))
+        # with w = round((n/N)^tau, 9) summed as DECIMAL (exact,
+        # order-independent — double sums are neither); copies =
+        # t div n everywhere + 1 for the t mod n first docs in md5
+        # order. DuckDB is case-insensitive, hence nt/wsum names.
+        "temperature_mix_lang": """
+            WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+                 tot AS (SELECT count(*) AS nt FROM documents),
+                 w AS (SELECT lang, n,
+                       CAST(round(pow(n * 1.0 / nt, 0.5), 9)
+                            AS DECIMAL(38,9)) AS w
+                       FROM g, tot),
+                 ws AS (SELECT sum(w) AS wsum FROM w),
+                 t AS (SELECT lang, n,
+                       CAST(floor(round(CAST(w AS DOUBLE)
+                            * (SELECT nt FROM tot)
+                            / CAST(wsum AS DOUBLE), 6)) AS BIGINT) AS t
+                       FROM w, ws),
+                 r AS (SELECT d.doc_id, d.lang,
+                       row_number() OVER (PARTITION BY d.lang
+                         ORDER BY md5(d.doc_id::varchar), d.doc_id) AS rn,
+                       t.t, t.n
+                       FROM documents d JOIN t USING (lang))
+            SELECT doc_id, lang,
+                   CAST(t // n + CASE WHEN rn <= t % n THEN 1 ELSE 0 END
+                        AS INT) AS copies
+            FROM r
+            WHERE t // n + CASE WHEN rn <= t % n THEN 1 ELSE 0 END > 0
         """,
         # SemDeDup: same strided seed centroids as the IVF oracle,
         # then within-cell cosine dominance (farther-from-centroid

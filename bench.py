@@ -284,6 +284,11 @@ def run_worker(
                 docs.select("doc_id", "lang"), "lang", quota=n_docs // 20
             ).count()
         ),
+        "temperature_mix": timed(
+            lambda: sampling.temperature_mix(
+                docs.select("doc_id", "lang"), "lang", tau=0.5
+            ).agg(F.sum("copies")).collect()
+        ),
         "pii_scrub": timed(
             lambda: docs.select(
                 privacy.pii_scrub(F.col("text")).alias("s")

@@ -186,3 +186,157 @@ def hash_split(
     for name, b in zip(reversed(names[:-1]), reversed(bounds)):
         expr = F.when(key < F.lit(b), F.lit(name)).otherwise(expr)
     return docs.withColumn(split_col, expr)
+
+
+def temperature_mix(
+    docs: DataFrame,
+    group_col: str,
+    tau: float,
+    total: int | None = None,
+    id_col: str = "doc_id",
+    safety: float = 2.0,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Temperature-based corpus mixing (the Pile / multilingual-LM
+    resampling family): re-weight each ``group_col`` stratum from its
+    natural share ``p_g = n_g/N`` to ``p_g^tau / Σ p_h^tau`` and emit
+    a deterministic per-document ``copies`` column realizing the new
+    mix — ``tau < 1`` flattens (heads downsample, tails upsample,
+    possibly to copies > 1), ``tau = 1`` is the identity mix,
+    ``tau = 0`` is uniform-across-groups.
+
+    Output: the input columns plus ``copies int`` (> 0; rows whose
+    group resolved to zero target are dropped). Within a group the
+    target ``t_g`` splits as ``t_g div n_g`` copies for everyone plus
+    one extra for the ``t_g mod n_g`` first documents in the
+    deterministic md5 order — no RNG, rerun-stable, and an engine
+    oracle reproduces it bit-for-bit.
+
+    Engine-reproducible arithmetic (the dsir_weights playbook):
+    ``w_g = round(pow(n_g/N, tau), 9)`` cast DECIMAL(38,9) so the
+    cross-group sum is EXACT and order-independent (double sums are
+    neither), then ``t_g = floor(round(w_g·total/W, 6))`` back in
+    double. Everything stays one declarative plan — the 1-row ``W``
+    aggregate broadcast-joins back, nothing collects.
+
+    Scale posture: same pruned-window shape as :func:`quota_sample` —
+    the remainder rank only ever sees ``~rem_g × safety`` candidate
+    rows per group (md5-uniformity threshold), never a 40-TB stratum;
+    sketch-miss groups fall back to the exact full window (counted in
+    ``stats``, never silent). Groups needing no remainder skip the
+    window entirely.
+    """
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    cols = docs.columns
+    key = _num_key(id_col)
+    max_key = float(16**15)
+    n_total = docs.count()
+    if n_total == 0:
+        return docs.withColumn("copies", F.lit(1).cast("int")).limit(0)
+    target_total = int(total) if total is not None else n_total
+
+    gstats = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    gw = gstats.withColumn(
+        "_w",
+        F.round(
+            F.pow(F.col("_n") / F.lit(float(n_total)), F.lit(float(tau))), 9
+        ).cast("decimal(38,9)"),
+    )
+    wsum = gw.agg(F.sum("_w").alias("_W"))
+    gt = (
+        gw.alias("g").crossJoin(F.broadcast(wsum.alias("s")))
+        .withColumn(
+            "_t",
+            F.floor(
+                F.round(
+                    F.col("g._w").cast("double")
+                    * F.lit(float(target_total))
+                    / F.col("s._W").cast("double"),
+                    6,
+                )
+            ).cast("long"),
+        )
+        .withColumn("_base", F.expr("_t div _n"))
+        .withColumn("_rem", F.pmod(F.col("_t"), F.col("_n")))
+        .withColumn(
+            "_thr",
+            F.least(
+                F.lit(max_key),
+                F.lit(safety) * F.col("_rem") * F.lit(max_key) / F.col("_n"),
+            ).cast("long"),
+        )
+        .select(group_col, "_n", "_t", "_base", "_rem", "_thr")
+        .persist()
+    )
+
+    no_rem = gt.filter((F.col("_rem") == 0) & (F.col("_base") > 0))
+    with_rem = gt.filter(F.col("_rem") > 0)
+
+    flat = docs.join(
+        F.broadcast(no_rem.select(group_col, "_base")), group_col
+    ).select(*cols, F.col("_base").cast("int").alias("copies"))
+
+    cand = docs.join(
+        F.broadcast(with_rem.select(group_col, "_base", "_rem", "_thr")),
+        group_col,
+    ).filter(key <= F.col("_thr"))
+    cand_n = cand.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cn"))
+    short = (
+        with_rem.join(F.broadcast(cand_n), group_col, "left")
+        .filter(F.coalesce(F.col("_cn"), F.lit(0)) < F.col("_rem"))
+        .select(group_col)
+        .persist()
+    )
+    n_short = short.count()
+
+    w = Window.partitionBy(group_col).orderBy(sample_key(id_col), id_col)
+
+    def _with_copies(df):
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                "copies",
+                (
+                    F.col("_base")
+                    + F.when(F.col("_rn") <= F.col("_rem"), 1).otherwise(0)
+                ).cast("int"),
+            )
+            .filter(F.col("copies") > 0)
+            .select(*cols, "copies")
+        )
+
+    ranked = _with_copies(cand.join(F.broadcast(short), group_col, "left_anti"))
+    # rows ABOVE the candidate threshold never win a remainder slot;
+    # they carry the base copy count (dropped when base == 0)
+    rest = (
+        docs.join(
+            F.broadcast(
+                with_rem.join(short, group_col, "left_anti").select(
+                    group_col, "_base", "_thr"
+                )
+            ),
+            group_col,
+        )
+        .filter((key > F.col("_thr")) & (F.col("_base") > 0))
+        .select(*cols, F.col("_base").cast("int").alias("copies"))
+    )
+    out = flat.unionByName(ranked).unionByName(rest)
+    if n_short:
+        fb = _with_copies(
+            docs.join(
+                F.broadcast(
+                    with_rem.join(
+                        short, group_col, "left_semi"
+                    ).select(group_col, "_base", "_rem")
+                ),
+                group_col,
+            )
+        )
+        out = out.unionByName(fb)
+    if stats is not None:
+        stats["n_groups"] = gt.count()
+        stats["groups_no_rem"] = no_rem.count()
+        stats["groups_windowed"] = with_rem.count() - n_short
+        stats["groups_fallback"] = n_short
+    return out

@@ -1944,3 +1944,90 @@ def test_recrawl_priority_hand_math(spark):
     assert got["a"].priority == pytest.approx(round(round(lam_a, 12) * 100, 6))
     assert got["b"].lambda_hat == 0.0 and got["b"].priority == 0.0
     assert got["c"].lambda_hat is None and got["c"].priority == 0.0
+
+
+# ---- temperature mixing ------------------------------------------------
+
+
+def test_temperature_mix_flattens(spark):
+    """tau=0.5 flattens the group distribution: the dominant group's
+    effective share shrinks, tail groups upsample via copies >= 2;
+    tau=1 reproduces the natural mix (targets == group sizes up to
+    floor rounding); total effective size ~= the corpus size."""
+    from memorious_spark.operators.sampling import temperature_mix
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(400 + i, "mid") for i in range(80)]
+        + [(480 + i, "tiny") for i in range(20)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = temperature_mix(docs, "grp", tau=0.5).persist()
+    eff = {
+        r["grp"]: r["eff"]
+        for r in out.groupBy("grp")
+        .agg(F.sum("copies").alias("eff"))
+        .collect()
+    }
+    n = {"big": 400, "mid": 80, "tiny": 20}
+    total_eff = sum(eff.values())
+    # shares moved toward uniform: big strictly down, tiny strictly up
+    assert eff["big"] / total_eff < 400 / 500
+    assert eff["tiny"] / total_eff > 20 / 500
+    # tiny upsamples: someone carries copies >= 2
+    assert out.filter("grp = 'tiny' and copies >= 2").count() > 0
+    # total effective stays ~corpus-sized (floor rounding only)
+    assert abs(total_eff - 500) <= 3
+    out.unpersist()
+
+    ident = temperature_mix(docs, "grp", tau=1.0)
+    eff1 = {
+        r["grp"]: r["eff"]
+        for r in ident.groupBy("grp").agg(F.sum("copies").alias("eff")).collect()
+    }
+    for g, cnt in n.items():
+        assert abs(eff1[g] - cnt) <= 1, (g, eff1[g])
+
+
+def test_temperature_mix_deterministic_and_total(spark):
+    """Re-running selects the SAME documents with the SAME copies (no
+    RNG); `total` rescales the effective corpus size."""
+    from memorious_spark.operators.sampling import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(300)], "doc_id long, grp string"
+    )
+    a = sorted(map(tuple, temperature_mix(docs, "grp", tau=0.3).collect()))
+    b = sorted(map(tuple, temperature_mix(docs, "grp", tau=0.3).collect()))
+    assert a == b
+    scaled = temperature_mix(docs, "grp", tau=0.3, total=900)
+    tot = scaled.agg(F.sum("copies")).first()[0]
+    assert abs(tot - 900) <= 3
+    with pytest.raises(ValueError, match="tau"):
+        temperature_mix(docs, "grp", tau=-0.1)
+
+
+def test_temperature_mix_skew_posture(spark):
+    """The remainder window never sees a whole stratum: a hot group
+    resolves through the pruned candidate set (stats prove the path),
+    and a deliberately broken sketch falls back loudly-but-correctly."""
+    from memorious_spark.operators import sampling as sampling_mod
+    from memorious_spark.operators.sampling import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(i, "hot") for i in range(3000)] + [(3000 + i, "cold") for i in range(30)],
+        "doc_id long, grp string",
+    )
+    stats = {}
+    out = temperature_mix(docs, "grp", tau=0.5, stats=stats).persist()
+    assert stats["groups_fallback"] == 0
+    assert stats["groups_windowed"] >= 1
+    baseline = sorted(map(tuple, out.collect()))
+    out.unpersist()
+    # force the sketch to miss (safety below 1 shrinks the candidate
+    # prefix under the remainder) — result must be identical, via the
+    # counted fallback
+    stats2 = {}
+    fb = temperature_mix(docs, "grp", tau=0.5, safety=0.01, stats=stats2)
+    assert sorted(map(tuple, fb.collect())) == baseline
+    assert stats2["groups_fallback"] >= 1
