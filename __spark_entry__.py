@@ -574,6 +574,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "url"
         )
 
+    def dedup_sharded_cuckoo(spark, sf_dir):
+        """The deletable seen-filter gone executor-resident
+        (operators/sharded_filter.py ShardedCuckoo): shard tables live
+        as a DataFrame, insert/DELETE/probe are cogrouped Arrow jobs —
+        delete support without driver residency. Same scenario as
+        dedup_cuckoo: build over seen, delete the expired subset,
+        prefilter the anti-join; the final left_anti decides."""
+        from memorious_spark.operators.sharded_filter import (
+            build_sharded_cuckoo, dedup_new_sharded_cuckoo,
+            delete_sharded_cuckoo,
+        )
+
+        docs = _docs(spark, sf_dir)
+        cands = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://h"), F.col("doc_id") % 7,
+                F.lit(".example.com/doc/"), F.col("doc_id"),
+            ).alias("url"),
+        ).withColumn("url_hash", F.xxhash64("url"))
+        seen_all = cands.filter(F.col("doc_id") % 3 == 0)
+        filt = build_sharded_cuckoo(
+            seen_all, "url_hash",
+            expected=max(64, seen_all.count()), shards=8,
+        )
+        expired = seen_all.filter(F.col("doc_id") % 6 == 0)
+        filt, _removed = delete_sharded_cuckoo(filt, expired)
+        live = seen_all.filter(F.col("doc_id") % 6 != 0).select("url_hash")
+        return dedup_new_sharded_cuckoo(cands, live, filt).select(
+            "doc_id", "url"
+        )
+
     def incremental_skip(spark, sf_dir):
         ev = _events(spark, sf_dir)
         now = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
@@ -1784,9 +1816,9 @@ pipeline:
         "link_pagerank": link_pagerank,
         "lm_perplexity": lm_perplexity,
         "clean_html_op": clean_html_op,        # rows-only by design
-        # new r5 operator + the single-round composite under the eye
+        # new r5 operators
         "temperature_mix_lang": temperature_mix_lang,
-        "ann_ivfpq_knn": ann_ivfpq_knn,        # exercises IVF+PQ+ADC
+        "dedup_sharded_cuckoo": dedup_sharded_cuckoo,
         # SURVEY §2-mapped crawl surface
         "crawl_bfs_seen": crawl_bfs_seen,
         "crawl_min_depth": crawl_min_depth,
@@ -1814,6 +1846,7 @@ pipeline:
         # round by the full oracle sweep; ann_pq_knn and text_normalize
         # are single-round green but unchanged since, and their
         # machinery rides ann_ivfpq_knn / the normalize pytest suite)
+        "ann_ivfpq_knn": ann_ivfpq_knn,
         "semantic_dedup": semantic_dedup_op,
         "exact_dedup": exact_dedup,
         "minhash_lsh_dedup": minhash_lsh_dedup,
@@ -1957,6 +1990,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id AS url
             FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
+        """,
+        "dedup_sharded_cuckoo": """
+            SELECT doc_id,
+                   'https://h' || (doc_id % 7) || '.example.com/doc/' || doc_id AS url
+            FROM documents WHERE doc_id % 3 <> 0 OR doc_id % 6 = 0
         """,
         "incremental_skip": """
             SELECT e.event_id, e.user_id

@@ -56,6 +56,11 @@ __all__ = [
     "build_sharded_bloom",
     "update_sharded",
     "dedup_new_sharded",
+    "ShardedCuckoo",
+    "build_sharded_cuckoo",
+    "update_sharded_cuckoo",
+    "delete_sharded_cuckoo",
+    "dedup_new_sharded_cuckoo",
 ]
 
 _FILTER_SCHEMA = "shard int, bm binary"
@@ -194,6 +199,226 @@ def dedup_new_sharded(
     probed = (
         cands.groupby("_shard")
         .cogroup(bloom.df.groupby("shard"))
+        .applyInPandas(probe, out_schema)
+    )
+    definitely_new = probed.filter(~F.col("_maybe_seen")).drop(
+        "_maybe_seen", "_shard"
+    )
+    maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen", "_shard")
+    seen_keys = seen.select(key).distinct()
+    confirmed_new = maybe.join(seen_keys.hint("shuffle_hash"), key, "left_anti")
+    return definitely_new.unionByName(confirmed_new)
+
+
+# ---- executor-resident sharded CUCKOO (the deletable twin) -----------
+#
+# Same posture shift as ShardedBloom, applied to the expiring-tags
+# regime: operators/cuckoo.py keeps the shard dict on the driver and
+# `update_cuckoo` COLLECTS each round's delta hashes (an O(new URLs)
+# driver transfer). Here the shard tables are a (shard, tbl) DataFrame
+# on executors and insert/delete/probe are cogrouped Arrow jobs over
+# the SAME per-shard numpy kernel (cuckoo.py `_insert_batch` /
+# fingerprint math), so delete support no longer costs driver
+# residency. Over-full shards still fail LOUD — the ValueError now
+# surfaces as a task failure instead of a driver one, same contract.
+
+from memorious_spark.operators.cuckoo import (  # noqa: E402
+    _BUCKET, _DEFAULT_LOAD, _buckets, _fingerprint, _insert_batch,
+    _next_pow2, _size_for,
+)
+
+_CUCKOO_SCHEMA = "shard int, tbl binary"
+
+
+@dataclass
+class ShardedCuckoo:
+    """Executor-resident cuckoo filter: ``df`` holds one
+    ``(shard, tbl)`` row per non-empty shard (an absent shard reads
+    as empty), ``shard = int(hash & (shards-1))`` — identical routing
+    to the driver filter, so the fingerprint math is shared verbatim."""
+
+    df: DataFrame
+    shards: int  # power of two
+    nb: int  # buckets per shard table
+    capacity: int
+
+
+def _cuckoo_shard_col(key: str, shards: int):
+    # low-bit mask of the SIGNED hash == uint64 % shards for a power
+    # of two (two's complement keeps low bits) — cuckoo.py's routing
+    return F.expr(f"int({key} & {shards - 1})")
+
+
+def build_sharded_cuckoo(
+    df: DataFrame,
+    key: str,
+    expected: int,
+    shards: int | None = None,
+    load: float = _DEFAULT_LOAD,
+) -> ShardedCuckoo:
+    """Distributed build: route keys to shards (one shuffle), build
+    every shard table vectorized IN ITS OWN TASK, keep the tables on
+    executors. Nothing but task statuses reaches the driver."""
+    spark = df.sparkSession
+    if shards is None:
+        shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    shards = _next_pow2(shards)
+    nb = _size_for(expected, shards, load)
+    empty = ShardedCuckoo(
+        df=spark.createDataFrame([], _CUCKOO_SCHEMA),
+        shards=shards, nb=nb, capacity=max(expected, 1),
+    )
+    return update_sharded_cuckoo(empty, df, key=key)
+
+
+def _cuckoo_cogroup(filt: ShardedCuckoo, keys_df: DataFrame, fn):
+    """cogroup(filter-by-shard, keys-by-shard) → applyInPandas(fn) →
+    eagerly checkpointed new shard table (same false-negative-proof
+    materialization contract as the bloom's update)."""
+    # the handle keeps the full checkpointed frame (incl. the
+    # `removed` ledger column — cogroup consumers read only
+    # shard/tbl) so unpersist() on a superseded filter releases the
+    # actual checkpoint storage, not a projection over it
+    df = (
+        filt.df.groupby("shard")
+        .cogroup(keys_df.groupby("_shard"))
+        .applyInPandas(fn, _CUCKOO_SCHEMA + ", removed long")
+    ).localCheckpoint(eager=True)
+    old = filt.df
+    out = ShardedCuckoo(
+        df=df, shards=filt.shards, nb=filt.nb, capacity=filt.capacity
+    )
+    try:
+        old.unpersist()
+    except Exception:
+        pass
+    removed = df.agg(F.sum("removed")).first()[0] or 0
+    return out, int(removed)
+
+
+def _keys_by_shard(new_df: DataFrame, key: str, shards: int) -> DataFrame:
+    return (
+        new_df.select(F.col(key).alias("_h"))
+        .where(F.col("_h").isNotNull())
+        .withColumn("_shard", _cuckoo_shard_col("_h", shards))
+    )
+
+
+def update_sharded_cuckoo(
+    filt: ShardedCuckoo, new_df: DataFrame, key: str = "url_hash"
+) -> ShardedCuckoo:
+    """Insert a round's new hashes into their shards — entirely on
+    executors, O(P) driver bytes (vs ``update_cuckoo``'s collect of
+    every delta hash). Batch-internal duplicates are dropped (the
+    driver build does the same); an over-full shard raises in its
+    task."""
+    nb = filt.nb
+
+    def ins(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            t = np.zeros((nb, _BUCKET), dtype=np.uint16)
+            shard = int(right["_shard"].iloc[0])
+        else:
+            t = np.frombuffer(left["tbl"].iloc[0], dtype=np.uint16)
+            t = t.reshape(nb, _BUCKET).copy()
+            shard = int(left["shard"].iloc[0])
+        if not right.empty:
+            hv = right["_h"].to_numpy(dtype=np.uint64, na_value=0)
+            _insert_batch(t, np.unique(hv))
+        return pd.DataFrame(
+            {"shard": [shard], "tbl": [t.tobytes()], "removed": [0]}
+        )
+
+    out, _ = _cuckoo_cogroup(
+        filt, _keys_by_shard(new_df, key, filt.shards), ins
+    )
+    return out
+
+
+def delete_sharded_cuckoo(
+    filt: ShardedCuckoo, expired_df: DataFrame, key: str = "url_hash"
+) -> tuple[ShardedCuckoo, int]:
+    """Remove expired hashes' fingerprints shard-locally — the
+    operation the bloom can't do, now without the driver round-trip.
+    Returns (new filter, number of fingerprints removed)."""
+    nb = filt.nb
+
+    def rm(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            # deleting from a never-written shard: nothing stored
+            shard = int(right["_shard"].iloc[0])
+            t = np.zeros((nb, _BUCKET), dtype=np.uint16)
+            return pd.DataFrame(
+                {"shard": [shard], "tbl": [t.tobytes()], "removed": [0]}
+            )
+        t = np.frombuffer(left["tbl"].iloc[0], dtype=np.uint16)
+        t = t.reshape(nb, _BUCKET).copy()
+        shard = int(left["shard"].iloc[0])
+        removed = 0
+        if not right.empty:
+            hv = np.unique(
+                right["_h"].to_numpy(dtype=np.uint64, na_value=0)
+            )
+            fp = _fingerprint(hv)
+            b1, b2 = _buckets(hv, fp, nb)
+            for j in range(len(hv)):
+                for b in (b1[j], b2[j]):
+                    slots = np.flatnonzero(t[b] == fp[j])
+                    if len(slots):
+                        t[b, slots[0]] = 0
+                        removed += 1
+                        break
+        return pd.DataFrame(
+            {"shard": [shard], "tbl": [t.tobytes()], "removed": [removed]}
+        )
+
+    return _cuckoo_cogroup(
+        filt, _keys_by_shard(expired_df, key, filt.shards), rm
+    )
+
+
+def dedup_new_sharded_cuckoo(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    filt: ShardedCuckoo,
+    key: str = "url_hash",
+) -> DataFrame:
+    """Rows of ``candidates`` whose ``key`` is not in ``seen`` — the
+    cuckoo probe runs shard-local (cogrouped), the exact ``left_anti``
+    decides. NULL-key rows probe as not-seen. Contract identical to
+    :func:`dedup_new_sharded` / ``seen.dedup_new``."""
+    if seen is None:
+        return candidates
+    nb = filt.nb
+    cands = candidates.withColumn(
+        "_shard", _cuckoo_shard_col(key, filt.shards)
+    )
+    out_schema = StructType(
+        cands.schema.fields + [StructField("_maybe_seen", BooleanType())]
+    )
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.copy()
+        if left.empty:
+            left["_maybe_seen"] = pd.Series([], dtype=bool)
+            return left
+        if right.empty:
+            left["_maybe_seen"] = False
+            return left
+        t = np.frombuffer(right["tbl"].iloc[0], dtype=np.uint16)
+        t = t.reshape(nb, _BUCKET)
+        h = left[key]
+        hv = h.to_numpy(dtype=np.uint64, na_value=0)
+        fp = _fingerprint(hv)
+        b1, b2 = _buckets(hv, fp, nb)
+        hit = (t[b1] == fp[:, None]).any(axis=1)
+        hit |= (t[b2] == fp[:, None]).any(axis=1)
+        left["_maybe_seen"] = hit & h.notna().to_numpy()
+        return left
+
+    probed = (
+        cands.groupby("_shard")
+        .cogroup(filt.df.groupby("shard"))
         .applyInPandas(probe, out_schema)
     )
     definitely_new = probed.filter(~F.col("_maybe_seen")).drop(

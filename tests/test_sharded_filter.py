@@ -219,3 +219,88 @@ def test_bloom_mode_reports_driver_bytes(spark, tmp_path):
     finally:
         runner_mod._BLOOM_MIN_ROWS = orig_min
     corpus.unpersist()
+
+
+# ---- executor-resident sharded cuckoo (the deletable twin) -------------
+
+
+def test_sharded_cuckoo_exactness_and_delete(spark):
+    """Build → probe == plain anti-join; DELETE (the operation the
+    bloom lacks) makes expired keys crawlable again — all shard-local
+    cogrouped jobs, no driver filter bytes."""
+    from memorious_spark.operators.sharded_filter import (
+        build_sharded_cuckoo, dedup_new_sharded_cuckoo,
+        delete_sharded_cuckoo, update_sharded_cuckoo,
+    )
+
+    seen0 = spark.range(0, 1000, 2).select(F.col("id").alias("url_hash"))
+    filt = build_sharded_cuckoo(seen0, "url_hash", expected=4000, shards=4)
+    cands = spark.range(1000).select(F.col("id").alias("url_hash")).unionByName(
+        spark.createDataFrame([(None,)], "url_hash long")
+    )
+    out = dedup_new_sharded_cuckoo(cands, seen0, filt)
+    got = sorted(
+        r["url_hash"] for r in out.collect() if r["url_hash"] is not None
+    )
+    assert got == list(range(1, 1000, 2))
+    assert out.filter(F.col("url_hash").isNull()).count() == 1
+
+    # incremental insert
+    add = spark.range(5000, 5100).select(F.col("id").alias("url_hash"))
+    filt = update_sharded_cuckoo(filt, add)
+    seen_all = seen0.unionByName(add)
+    both = seen_all.unionByName(seen_all)  # probing seen against itself
+    assert dedup_new_sharded_cuckoo(
+        seen_all, seen_all, filt
+    ).count() == 0  # zero false negatives after the update
+
+    # delete expired: every 6th key leaves; it must come back crawlable
+    expired = spark.range(0, 1000, 6).select(F.col("id").alias("url_hash"))
+    filt, removed = delete_sharded_cuckoo(filt, expired)
+    assert removed == expired.count()
+    live = seen_all.join(expired, "url_hash", "left_anti")
+    out2 = dedup_new_sharded_cuckoo(
+        cands.filter(F.col("url_hash").isNotNull()), live, filt
+    )
+    want = sorted(
+        set(range(1, 1000, 2)) | set(range(0, 1000, 6))
+    )
+    assert sorted(r["url_hash"] for r in out2.collect()) == want
+    filt.df.unpersist()
+
+
+def test_sharded_cuckoo_matches_driver_cuckoo(spark):
+    """The executor-resident filter stores EXACTLY the fingerprints
+    the driver CuckooFilter stores (shared kernel, shared routing) —
+    probing any candidate set gives identical maybe/new splits."""
+    from memorious_spark.operators.cuckoo import build_cuckoo
+    from memorious_spark.operators.sharded_filter import (
+        build_sharded_cuckoo, dedup_new_sharded_cuckoo,
+    )
+    from memorious_spark.operators.seen import dedup_new
+
+    seen = spark.range(0, 2000, 3).select(F.col("id").alias("url_hash"))
+    driver_f = build_cuckoo(seen, "url_hash", expected=4000, n_shards=4)
+    sharded_f = build_sharded_cuckoo(seen, "url_hash", expected=4000, shards=4)
+    assert (sharded_f.shards, sharded_f.nb) == (driver_f.n_shards, driver_f.nb)
+    cands = spark.range(0, 2500).select(F.col("id").alias("url_hash"))
+    a = sorted(
+        r["url_hash"]
+        for r in dedup_new(cands, seen, cuckoo=driver_f).collect()
+    )
+    b = sorted(
+        r["url_hash"]
+        for r in dedup_new_sharded_cuckoo(cands, seen, sharded_f).collect()
+    )
+    assert a == b
+    sharded_f.df.unpersist()
+
+
+def test_sharded_cuckoo_overfull_fails_loud(spark):
+    """An over-full shard must raise (in its task), never drop a key —
+    a dropped insert would be a false negative at probe time."""
+    from memorious_spark.operators.sharded_filter import build_sharded_cuckoo
+
+    keys = spark.range(5000).select(F.col("id").alias("url_hash"))
+    with pytest.raises(Exception, match="over-full"):
+        build_sharded_cuckoo(keys, "url_hash", expected=64, shards=2)
