@@ -1842,10 +1842,11 @@ pipeline:
         "metrics_rollup": metrics_rollup,
         "check_validators": check_validators,
         # ---- position 50 ends the driver window ----------------------
-        # multi-round driver-green veterans (every one verified each
-        # round by the full oracle sweep; ann_pq_knn and text_normalize
-        # are single-round green but unchanged since, and their
-        # machinery rides ann_ivfpq_knn / the normalize pytest suite)
+        # veterans parked past the window (every one verified each
+        # round by the full oracle sweep). ann_ivfpq_knn/semantic_dedup/
+        # ann_pq_knn/text_normalize are single-round r4-green but
+        # unchanged since; the r5-new operators displaced them — the
+        # window is 50 and never-checked beats checked-once.
         "ann_ivfpq_knn": ann_ivfpq_knn,
         "semantic_dedup": semantic_dedup_op,
         "exact_dedup": exact_dedup,
