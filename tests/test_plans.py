@@ -541,3 +541,27 @@ def test_quota_sample_window_input_is_pruned(spark):
     # window's descendants
     win_at = plan.index("Window")
     assert "_thr" in plan[win_at:], plan[win_at:win_at + 2000]
+
+
+def test_lsh_pair_self_joins_never_broadcast(spark):
+    """The LSH-family pair generators self-join their banded/exploded
+    index; a BroadcastHashJoin there re-evaluates the signature stage
+    once per side (and could not broadcast a corpus-scale index at
+    all). Lock the SHUFFLE_HASH shape — both sides through the same
+    exchange, one materialization."""
+    import os
+
+    from memorious_spark.operators import dedup
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.01")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    for name, df in [
+        ("minhash", dedup.minhash_lsh_pairs(docs)),
+        ("ngram", dedup.ngram_jaccard_pairs(docs, threshold=0.8)),
+        ("simhash", dedup.simhash_pairs(docs)),
+        ("emb_lsh", dedup.embedding_dup_pairs_lsh(emb, dim=64)),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan, name
+        assert "BroadcastHashJoin" not in plan, name

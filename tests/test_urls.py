@@ -295,3 +295,24 @@ def test_registrable_domain_icann_vs_private(spark):
         assert urls.py_registrable_domain(
             r["host"], include_private=False
         ) == r["want_icann"]
+
+
+def test_psl_missing_file_falls_back(monkeypatch):
+    """A stripped install without the vendored snapshot degrades to
+    the PSL-lite two-level set — politeness grouping coarsens, never
+    crashes."""
+    monkeypatch.setattr(urls, "_PSL_CACHE", {})
+    real_open = urls.load_psl
+
+    def boom(path=None, include_private=True):
+        raise OSError("no data file")
+
+    monkeypatch.setattr(urls, "load_psl", boom)
+    rules = urls._default_psl()
+    assert urls.py_registrable_domain("news.bbc.co.uk", rules) == "bbc.co.uk"
+    # private-section registries are absent from the fallback
+    assert urls.py_registrable_domain(
+        "blog.myname.github.io", rules
+    ) == "github.io"
+    monkeypatch.setattr(urls, "load_psl", real_open)
+    monkeypatch.setattr(urls, "_PSL_CACHE", {})
