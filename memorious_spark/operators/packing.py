@@ -15,21 +15,37 @@ executes an unpartitioned window on a single partition): correct at
 test scale, dead at 100 TB. This module computes the same global
 exclusive prefix sum with the classic two-phase scan:
 
-1. range-repartition by the order column (one shuffle — the only
-   one), so partition p holds a contiguous key range;
-2. per-partition token totals → tiny P-row aggregate collected to the
-   driver → exclusive partition offsets broadcast back;
-3. partition-LOCAL window (PARTITION BY partition id ORDER BY key)
-   adds the local exclusive cumsum to the partition offset.
+1. one min/max aggregate over the id column, from which every row's
+   bucket ``_pid`` is an EQUAL-WIDTH KEY-RANGE BUCKET — a pure
+   function of the id value (``frontier.order_bucket_expr``), never
+   ``spark_partition_id()``;
+2. per-bucket token totals → tiny P-row aggregate collected to the
+   driver → exclusive bucket offsets broadcast back;
+3. bucket-LOCAL window (PARTITION BY ``_pid`` ORDER BY key) adds the
+   local exclusive cumsum to the bucket offset.
 
 Every stage is parallel; the collect moves P longs, not data. The
 result is bit-identical to the single-partition window (the SQL twin
 the driver oracle runs).
+
+Determinism (the round-4/round-5 driver-red class, closed
+structurally): earlier versions derived ``_pid`` from
+``repartitionByRange(...) + spark_partition_id()``, whose range
+boundaries are re-sampled per job — an eager ``localCheckpoint``
+pinned ONE materialization, but checkpoint storage is itself
+unreliable (a partition lost to executor churn is recomputed under a
+FRESH range sampling), so a residual flake class remained. Now no
+Spark internal is involved anywhere: ``_pid`` is a function of the id
+alone, so the totals collect, the window, and any recomputation agree
+by construction. The ``persist`` below is purely a performance hint —
+evict it, recompute it, the answer cannot change.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+from memorious_spark.operators.frontier import order_bucket_expr
 
 __all__ = ["pack_token_shards"]
 
@@ -43,8 +59,8 @@ def pack_token_shards(
 ) -> DataFrame:
     """Assign each document to its token-budget shard.
 
-    Input must carry a UNIQUE orderable ``id_col`` (the layout order)
-    and a ``tokens_col`` count. Returns ``(id_col, tokens_col,
+    Input must carry a UNIQUE orderable numeric ``id_col`` (the layout
+    order) and a ``tokens_col`` count. Returns ``(id_col, tokens_col,
     offset, shard)`` where ``offset`` is the exclusive prefix sum of
     tokens in ``id_col`` order and ``shard = floor(offset /
     budget)``.
@@ -52,38 +68,32 @@ def pack_token_shards(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     p = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
-    parts = docs.select(id_col, tokens_col).repartitionByRange(
-        p, F.col(id_col)
+    # advisory cache: the slim 2-column projection feeds three jobs
+    # (bounds, totals, the final window). Correctness does NOT depend
+    # on it — _pid is a pure function of the id — so eviction or
+    # recomputation is only ever a performance event.
+    base = docs.select(id_col, tokens_col).persist()
+    row = base.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
+    lo, hi = row["lo"], row["hi"]
+    pid = (
+        F.lit(0).cast("int")
+        if lo is None
+        else order_bucket_expr(F.col(id_col), lo, hi, p)
     )
-    # spark_partition_id() is NONDETERMINISTIC across re-executions:
-    # repartitionByRange samples its boundaries per job, so the frame
-    # must be materialized ONCE and read by both consumers (the totals
-    # collect below and the final window+join). localCheckpoint cuts
-    # the lineage so a recompute is impossible — the slim 2-column
-    # projection is what lands on executor memory/disk, not the corpus.
-    with_pid = (
-        parts.withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    # Phase 2: P-row rollup; the collect ships P (pid, total, min_key)
-    # longs to the driver — independent of data volume.
+    with_pid = base.withColumn("_pid", pid)
+    # Phase 2: P-row rollup; the collect ships P (pid, total) longs to
+    # the driver — independent of data volume. Bucket id order IS key
+    # order (equal-width buckets are contiguous ranges), so the
+    # exclusive offsets accumulate in _pid order.
     totals = (
-        with_pid.groupBy("_pid")
-        .agg(
-            F.sum(tokens_col).alias("_tot"),
-            F.min(id_col).alias("_lo"),
-        )
-        .collect()
+        with_pid.groupBy("_pid").agg(F.sum(tokens_col).alias("_tot")).collect()
     )
-    # Partition ids are ordered by key range (repartitionByRange
-    # contract), but sort by the observed min key so correctness
-    # never rests on that internal numbering.
     running = 0
     offsets = []
-    for row in sorted(totals, key=lambda r: r["_lo"]):
-        offsets.append((int(row["_pid"]), running))
-        running += int(row["_tot"] or 0)
-    off_df = with_pid.sparkSession.createDataFrame(
+    for r in sorted(totals, key=lambda t: t["_pid"]):
+        offsets.append((int(r["_pid"]), running))
+        running += int(r["_tot"] or 0)
+    off_df = docs.sparkSession.createDataFrame(
         offsets, "_pid int, _part_off long"
     )
     local = Window.partitionBy("_pid").orderBy(id_col).rowsBetween(

@@ -155,6 +155,31 @@ def _probe_udf(spark, bitmap: np.ndarray, m: int, k: int):
     return _maybe_seen
 
 
+def _anti_join_maybe(
+    flagged: DataFrame, seen_keys: DataFrame, key: str
+) -> DataFrame:
+    """One-pass exactness backstop for a probabilistic probe: the
+    probe's ``_maybe_seen`` flag folds into the anti-join CONDITION —
+    a row is dropped only when its key matches ``seen_keys`` AND the
+    probe flagged it. ``_maybe_seen = false`` rows never match, so
+    they are kept without ever entering the hash lookup.
+
+    vs the former split-and-union (``filter(~maybe) ∪
+    (filter(maybe) anti-join seen)``): both branches re-executed the
+    whole probe subtree — the Python probe UDF / cogrouped Arrow probe
+    ran TWICE per call. One anti-join evaluates it once (guide §2.4:
+    duplicated subtrees are removable shuffles/scans)."""
+    sk = seen_keys.select(F.col(key).alias("_seen_key"))
+    return (
+        flagged.join(
+            sk.hint("shuffle_hash"),
+            (F.col(key) == F.col("_seen_key")) & F.col("_maybe_seen"),
+            "left_anti",
+        )
+        .drop("_maybe_seen")
+    )
+
+
 def dedup_new(
     candidates: DataFrame,
     seen: DataFrame | None,
@@ -188,17 +213,17 @@ def dedup_new(
         from memorious_spark.operators.cuckoo import cuckoo_probe_udf
 
         maybe_seen = cuckoo_probe_udf(candidates.sparkSession, cuckoo)
-        definitely_new = candidates.filter(~maybe_seen(F.col(key)))
-        maybe = candidates.filter(maybe_seen(F.col(key)))
-        confirmed_new = maybe.join(seen_keys, key, "left_anti")
-        return definitely_new.unionByName(confirmed_new)
+        return _anti_join_maybe(
+            candidates.withColumn("_maybe_seen", maybe_seen(F.col(key))),
+            seen_keys, key,
+        )
     if bloom is not None:
         bitmap, m, k = bloom
         maybe_seen = _probe_udf(candidates.sparkSession, bitmap, m, k)
-        definitely_new = candidates.filter(~maybe_seen(F.col(key)))
-        maybe = candidates.filter(maybe_seen(F.col(key)))
-        confirmed_new = maybe.join(seen_keys, key, "left_anti")
-        return definitely_new.unionByName(confirmed_new)
+        return _anti_join_maybe(
+            candidates.withColumn("_maybe_seen", maybe_seen(F.col(key))),
+            seen_keys, key,
+        )
     # SHUFFLE_HASH: candidates arrive already hash-partitioned by
     # url_hash (the within-round dedup window), so only the seen side
     # shuffles — parallel — where a broadcast would serialize the whole

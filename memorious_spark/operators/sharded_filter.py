@@ -201,13 +201,14 @@ def dedup_new_sharded(
         .cogroup(bloom.df.groupby("shard"))
         .applyInPandas(probe, out_schema)
     )
-    definitely_new = probed.filter(~F.col("_maybe_seen")).drop(
-        "_maybe_seen", "_shard"
-    )
-    maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen", "_shard")
-    seen_keys = seen.select(key).distinct()
-    confirmed_new = maybe.join(seen_keys.hint("shuffle_hash"), key, "left_anti")
-    return definitely_new.unionByName(confirmed_new)
+    # one-pass backstop: the flag folds into the anti-join condition,
+    # so the cogrouped Arrow probe executes ONCE (the former
+    # split-and-union ran the whole probe subtree twice)
+    from memorious_spark.operators.seen import _anti_join_maybe
+
+    return _anti_join_maybe(
+        probed, seen.select(key).distinct(), key
+    ).drop("_shard")
 
 
 # ---- executor-resident sharded CUCKOO (the deletable twin) -----------
@@ -421,10 +422,9 @@ def dedup_new_sharded_cuckoo(
         .cogroup(filt.df.groupby("shard"))
         .applyInPandas(probe, out_schema)
     )
-    definitely_new = probed.filter(~F.col("_maybe_seen")).drop(
-        "_maybe_seen", "_shard"
-    )
-    maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen", "_shard")
-    seen_keys = seen.select(key).distinct()
-    confirmed_new = maybe.join(seen_keys.hint("shuffle_hash"), key, "left_anti")
-    return definitely_new.unionByName(confirmed_new)
+    # one-pass backstop — see dedup_new_sharded
+    from memorious_spark.operators.seen import _anti_join_maybe
+
+    return _anti_join_maybe(
+        probed, seen.select(key).distinct(), key
+    ).drop("_shard")

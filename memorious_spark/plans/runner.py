@@ -31,9 +31,10 @@ round launches exactly THREE Spark job waves on the default
      n_selected is last round's frontier-write observation, and
      per-partition lineage comes from the checkpointed frontier's
      parquet footers, driver-local),
-  2. new-link dedup chain materialization + per-partition sizes (one
-     collect that yields BOTH the new-link count and the emit_seq
-     offsets),
+  2. new-link dedup chain materialization (the emit-order bounds
+     aggregate) + per-bucket sizes (a cached-scan collect that yields
+     BOTH the new-link count and the emit_seq offsets; ``_pid`` is a
+     deterministic key-range bucket, never ``spark_partition_id``),
   3. frontier + seen writes, submitted in parallel threads (both read
      only cached data; the next round's frontier size rides along as
      an observation, so empty rounds cost zero jobs).
@@ -634,6 +635,12 @@ class CrawlRunner:
             if seen_keys is not None and seen_count + 1 >= _BLOOM_MIN_ROWS:
                 if cfg.seen_filter == "sharded":
                     if sharded is not None and seen_count + 1 > sharded.capacity:
+                        try:  # release the superseded filter's executor
+                            # storage (update_sharded does the same on
+                            # every incremental update)
+                            sharded.df.unpersist()
+                        except Exception:
+                            pass
                         sharded = None  # past design capacity → rebuild
                     if sharded is None:
                         # distributed build — the shard table never
@@ -657,9 +664,10 @@ class CrawlRunner:
                         bloom = build_bloom(
                             seen_keys.distinct(), "url_hash", bloom_capacity
                         )
-            # new0 persisted: repartitionByRange's range-sampling pass
-            # would otherwise execute the whole explode/window/anti-join
-            # chain TWICE (once to sample bounds, once for real)
+            # new0 persisted: the dedup chain feeds the bounds job, the
+            # sizes collect, and every wave-3 consumer (frontier/seen
+            # writes, the filter update) — advisory only, since _pid is
+            # a pure function of the data (below)
             if sharded is not None:
                 new0 = dedup_new_sharded(
                     cands, seen_keys, sharded
@@ -668,20 +676,25 @@ class CrawlRunner:
                 new0 = dedup_new(
                     cands, seen_keys, seen_count=seen_count + 1, bloom=bloom
                 ).persist()
-            # wave 2: materialize the dedup chain range-partitioned by the
-            # emit order; ONE collect yields the per-partition sizes (→
-            # emit_seq offsets) and their sum (→ n_new). A deferred
-            # politeness histogram rides this wave in a parallel thread
-            # (it scans the selected cache job 1 materialized).
+            # wave 2: materialize the dedup chain (the bounds aggregate
+            # inside range_by_order is the materializing action), then
+            # ONE cached-scan collect yields the per-bucket sizes (→
+            # emit_seq offsets) and their sum (→ n_new). ``_pid`` is a
+            # deterministic key-range bucket — a recomputed partition
+            # can never disagree with the collected sizes (the round-5
+            # emit_seq two-consumer hole, closed structurally), and the
+            # former repartitionByRange shuffle + second persist are
+            # gone. A deferred politeness histogram rides this wave in
+            # a parallel thread (it scans the selected cache job 1
+            # materialized).
             hist_fut = pool.submit(_histogram) if defer_hist else None
-            rp = range_by_order(new0, _ORDER).persist()
+            rp = range_by_order(new0, _ORDER)
             sizes = {
                 int(r["_pid"]): int(r["cnt"])
                 for r in rp.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
             }
             if hist_fut is not None:
                 n_selected, lineage = hist_fut.result()
-            new0.unpersist()
             n_new = sum(sizes.values())
             new_links = seq_from_sizes(rp, _ORDER, sizes, start=next_seq)
             ph.mark(f"dedup+emit_seq ({n_new})")
@@ -888,7 +901,7 @@ class CrawlRunner:
             )
             selected.unpersist()
             parsed.unpersist()
-            rp.unpersist()
+            new0.unpersist()
             ph.mark("metrics+commit")
             rnd += 1
             if (

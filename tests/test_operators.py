@@ -1278,6 +1278,52 @@ def test_pack_token_shards_matches_global_prefix_sum(spark):
         pack_token_shards(docs, budget=0)
 
 
+def test_range_by_order_emit_seq_survives_recompute(spark):
+    """Round-6 directive (VERDICT #2/#4): ``_pid`` must be a pure
+    function of the data, so an emit_seq assignment computed from
+    collected per-bucket sizes stays correct even when the cached
+    frame is evicted and fully RECOMPUTED before the window job runs
+    (persist is advisory; the former repartitionByRange +
+    spark_partition_id pair re-sampled boundaries on recompute and
+    silently corrupted emit_seq)."""
+    from memorious_spark.operators.frontier import (
+        range_by_order, seq_from_sizes,
+    )
+
+    order = ["src_emit_seq", "link_idx"]
+    base = (
+        spark.range(3000)
+        .select(
+            # hash-spread parent seqs (the bench frontier regime) with
+            # unique (seq, idx) pairs
+            F.abs(F.xxhash64((F.col("id") / 3).cast("long"))).alias(
+                "src_emit_seq"
+            ),
+            (F.col("id") % 3).cast("int").alias("link_idx"),
+        )
+        .distinct()
+        .repartition(13, "link_idx")  # adversarial input partitioning
+        .persist()
+    )
+    rp = range_by_order(base, order)
+    sizes = {
+        int(r["_pid"]): int(r["cnt"])
+        for r in rp.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    out = seq_from_sizes(rp, order, sizes, start=100)
+    first = sorted(tuple(r) for r in out.collect())
+    # evict everything: the next action recomputes the whole chain
+    base.unpersist(blocking=True)
+    spark.catalog.clearCache()
+    second = sorted(tuple(r) for r in out.collect())
+    assert first == second
+    # and the numbering is the dense global rank in order + start
+    ranked = sorted(first)
+    assert [t[2] for t in ranked] == list(
+        range(100, 100 + len(ranked))
+    )
+
+
 def test_pack_token_shards_repeat_run_bit_equality(spark):
     """Round-5 directive: the op is a pure function of the corpus, not
     of Spark's partitioning. Run it 5× at p=8 over a shuffled,
