@@ -778,23 +778,29 @@ def simhash_signature_cols(
     lo, hi = _word_bits(F.col("tok"))
     ex = ex.select("id", lo.alias("w_lo"), hi.alias("w_hi"))
 
+    # per bit: count of set bits only (sum skips the explode_outer
+    # NULL of an empty doc), plus ONE token count — the former ±1
+    # conditional sums spent two `when` branches per bit per token
+    # (128 conditionals/row); a plain shift-and-mask halves the
+    # expression work in the hot partial-aggregate projection.
+    # Majority identity: sum(±1) > 0  ⇔  2·(#set) > #tokens.
     def bit_sum(word: Column, b: int, name: str) -> Column:
-        bit = F.shiftright(word, b).bitwiseAND(F.lit(1))
-        # explode_outer null (empty doc) contributes 0
-        return F.sum(
-            F.when(word.isNull(), 0).when(bit == 1, 1).otherwise(-1)
-        ).alias(name)
+        return F.sum(F.shiftright(word, b).bitwiseAND(F.lit(1))).alias(name)
 
-    aggs = [bit_sum(F.col("w_lo"), b, f"s{b}") for b in range(32)] + [
-        bit_sum(F.col("w_hi"), b, f"s{32 + b}") for b in range(32)
-    ]
+    aggs = (
+        [bit_sum(F.col("w_lo"), b, f"s{b}") for b in range(32)]
+        + [bit_sum(F.col("w_hi"), b, f"s{32 + b}") for b in range(32)]
+        + [F.count("w_lo").alias("n_tok")]
+    )
     summed = ex.groupBy("id").agg(*aggs)
 
     def assemble(base: int) -> Column:
         out = F.lit(0).cast("long")
         for b in range(32):
             out = out + F.when(
-                F.col(f"s{base + b}") > 0, F.lit(1 << b).cast("long")
+                F.coalesce(F.col(f"s{base + b}"), F.lit(0)) * 2
+                > F.col("n_tok"),
+                F.lit(1 << b).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
         return out
 

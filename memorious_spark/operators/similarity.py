@@ -855,7 +855,33 @@ def knn_ivfpq(
     codebooks — residual encoding would need K codebook sets and
     breaks the closed-form oracle; the recall gap is the classic
     IVFFlat-PQ vs IVFPQ-residual tradeoff."""
-    cents = ivf_seed_centroids(emb, n_centroids, spacing, id_col, vec_col)
+    # ONE seed collect for both codebooks: the coarse centroids
+    # (i · spacing) and the PQ seed vectors (i · pq_spacing) come back
+    # from a single pushed-down isin scan instead of two separate
+    # driver jobs (ivf_seed_centroids + pq_seed_codebooks each ran
+    # their own filter+collect over the same parquet).
+    ivf_ids = [i * spacing for i in range(n_centroids)]
+    pq_ids = [i * pq_spacing for i in range(n_codes)]
+    rows = (
+        emb.filter(F.col(id_col).isin(sorted(set(ivf_ids + pq_ids))))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    by_id = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in rows}
+
+    def _seeds(ids: list[int], label: str) -> list[tuple[int, list[float]]]:
+        missing = [i for i in ids if i not in by_id]
+        if missing:
+            # same loud-fail contract as ivf_seed_centroids: positions
+            # index codes, a compressed list probes the wrong lists
+            raise ValueError(
+                f"knn_ivfpq: missing {label} seed vectors at ids "
+                f"{missing}. Reduce n_centroids/n_codes/spacing or "
+                f"densify the id space."
+            )
+        return [(j, by_id[i]) for j, i in enumerate(ids)]
+
+    cents = _seeds(ivf_ids, "coarse")
     qdist = sorted(
         (
             sum((float(q) - float(c)) ** 2 for q, c in zip(query_vec, cv)),
@@ -864,7 +890,15 @@ def knn_ivfpq(
         for cid, cv in cents
     )
     probes = [cid for _d, cid in qdist[:nprobe]]
-    books = pq_seed_codebooks(emb, m, n_codes, pq_spacing, id_col, vec_col)
+    pq_seeds = _seeds(pq_ids, "pq")
+    dim = len(pq_seeds[0][1])
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = [
+        [(code, vec[j * sub:(j + 1) * sub]) for code, vec in pq_seeds]
+        for j in range(m)
+    ]
     sub = len(books[0][0][1])
     lut = [
         [

@@ -297,3 +297,39 @@ def test_dates_extended_locales():
     # injected base never guess
     assert py_iso_date("5 Ocak 2024") is None
     assert py_iso_date("3 giorni fa") is None
+
+
+def test_extract_links_fast_join_equals_urljoin():
+    """The root-relative fast path must be byte-identical to urljoin
+    for every ref shape, including the ones it must NOT fast-path
+    (query/fragment markers, protocol-relative, stripped bytes)."""
+    from urllib.parse import urljoin
+
+    from memorious_spark.functions.htmlkit import extract_links, parse_html
+
+    refs = [
+        "/doc/5", "/", "/a/b;p=1", "/a%20b", "/a b", "/deep/../x",
+        "/p?", "/p#", "/p?q=1", "/p#frag", "//other.host/x",
+        "/tab\there", "doc/rel", "../up", "https://abs.example.com/z",
+        "HTTPS://abs.example.com/Z", "?onlyquery", "#onlyfrag",
+        "/trailing/", "/:@weird", "/a\\b",
+    ]
+    bases = [
+        "https://h0.example.com/doc/1",
+        "HTTP://MiXed.Example.com:8080/a/b?x=1#f",
+        "https://h1.example.com/",
+    ]
+    for base in bases:
+        html = "<html><body>" + "".join(
+            f'<a href="{r}">t</a>' for r in refs
+        ) + "</body></html>"
+        got = [u for u, _t, _i in extract_links(parse_html(html), base)]
+        # reference: plain urljoin over the same scan order with the
+        # same first-wins dedup
+        seen, want = set(), []
+        for r in refs:
+            u = urljoin(base, r.strip())
+            if u and u not in seen:
+                seen.add(u)
+                want.append(u)
+        assert got == want, (base, got, want)
