@@ -320,7 +320,14 @@ def update_cuckoo(filt: CuckooFilter, df: DataFrame, key: str = "url_hash"):
     """Incremental insert of a round's NEW hashes (the cuckoo twin of
     ``update_bloom``). Per-round deltas are small relative to the
     filter, so they collect to the driver — the build path stays the
-    distributed one."""
+    distributed one.
+
+    SMALL-CRAWL PATH: this keeps the filter driver-resident and moves
+    every round's raw delta hashes through the driver — fine at the
+    scales where a driver filter fits at all. At north-rule scale
+    (10^10 URLs) use the executor-resident twin
+    (:mod:`memorious_spark.operators.sharded_filter`,
+    ``update_sharded_cuckoo``): cogrouped updates, O(P) driver bytes."""
     hv = _collect_hashes(df, key)
     if len(hv):
         filt.insert(hv)

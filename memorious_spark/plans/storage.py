@@ -197,7 +197,15 @@ class RunStore:
     ) -> None:
         from pyspark.sql import functions as F
 
-        if self.catalog is not None and not _direct:
+        # mirror read_shared's routing EXACTLY: only db_*/ftm_* sink
+        # tables live in the attached catalog — a non-sink table
+        # upserted there would be read back from the (empty) parquet
+        # path, silently invisible
+        if (
+            self.catalog is not None
+            and not _direct
+            and self._catalog_table(table)
+        ):
             self.catalog.upsert(spark, table, batch, keys, now_ts)
             return
         p = self.shared_path(table)

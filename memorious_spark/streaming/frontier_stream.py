@@ -181,12 +181,28 @@ def run_streaming_crawl(
         grp = host_col(F.col("url"))
         if politeness_group == "domain":
             from memorious_spark.functions.urls import (
-                registrable_domain_col,
+                py_registrable_domain, registrable_domain_col,
             )
 
             # ICANN-only rules: batch-face parity (frontier.py) —
             # politeness groups by infrastructure, not registrant
             grp = registrable_domain_col(grp, include_private=False)
+            if budget_overrides:
+                # the stateful politeness key is the REGISTRABLE
+                # DOMAIN in this mode — overrides keyed by raw robots
+                # host would never match. Re-key by the same group
+                # function; a domain takes its strictest (minimum)
+                # host budget.
+                rekeyed: dict[str, int] = {}
+                for h, b in budget_overrides.items():
+                    d = py_registrable_domain(h, include_private=False)
+                    rekeyed[d] = min(b, rekeyed.get(d, b))
+                budget_overrides = rekeyed
+        # NOTE: when only crawl-delay overrides exist (no configured
+        # politeness_budget), routing through the stateful path
+        # subjects ALL hosts to stateful.py's _MAX_PENDING per-host
+        # queue cap — a bound the pure pass-through configuration did
+        # not have (documented trade; the cap is per-host and large).
         cands = stream.withColumn("host", grp)
         stream = politeness_release(
             cands.select("host", "url", "emit_seq", "attempt"),
