@@ -134,12 +134,21 @@ def dedup_within_round(candidates: DataFrame, order_cols: list[str]) -> DataFram
     (memorious/operations/parse.py:55-58), so within a BFS generation
     the FIRST emitter of a URL wins. ``order_cols`` (parent emit_seq,
     link_idx) is a total order, making this deterministic.
+
+    Shape: ``min_by`` AGGREGATE, not a row_number window — the
+    candidate stream carries ~links-per-page duplicates of every hot
+    url, and partial aggregation collapses them map-side BEFORE the
+    exchange (guide §2.3: aggregate before you shuffle), where the
+    window shuffled and sorted every raw candidate row. Output
+    partitioning (hash on url_hash) is identical, so the downstream
+    seen anti-join still reuses it.
     """
-    w = Window.partitionBy("url_hash").orderBy(*[F.col(c) for c in order_cols])
+    cols = candidates.columns
+    ord_key = F.struct(*[F.col(c) for c in order_cols])
     return (
-        candidates.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        candidates.groupBy("url_hash")
+        .agg(F.min_by(F.struct(*cols), ord_key).alias("_row"))
+        .select("_row.*")
     )
 
 
